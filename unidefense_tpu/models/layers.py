@@ -1,0 +1,236 @@
+"""Shared flax building blocks: convs with torch-compatible initialisation,
+normalisation layers with exact torch semantics, and the SFConv
+(spatial-frequency convolution) that is this framework's signature custom op.
+
+Layout is NHWC throughout (TPU-native); channel axis is last.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unidefense_tpu.ops.fft import from_real_channels, irfft2, spectrum_channels
+from unidefense_tpu.ops.resize import adaptive_avg_pool
+
+# torch Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+torch_default_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# reference ResNet init_weights: kaiming_normal(fan_out, relu) (model/resnet/exp.py:455-459)
+kaiming_out_init = jax.nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def he_normal_out() -> Callable:
+    return jax.nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+Padding = Union[str, int, Sequence[tuple[int, int]]]
+
+
+def _pad_arg(padding: Padding):
+    if isinstance(padding, int):
+        return [(padding, padding), (padding, padding)]
+    return padding
+
+
+class Conv(nn.Module):
+    """Thin wrapper over nn.Conv with torch-style defaults.
+
+    padding: 'SAME' (XLA semantics == TF static SAME == the reference's
+    Conv2dStaticSamePadding, model/efficientnet/utils.py:250-278), or an int
+    for torch symmetric padding.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: Padding = 0
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_default_init
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=_pad_arg(self.padding),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with exact torch semantics.
+
+    * training: normalise with biased batch statistics, update running_var
+      with the *unbiased* estimate (torch BatchNorm2d behaviour).
+    * momentum is the torch convention: new = (1-m)*old + m*batch.
+    * optional `axis_name` syncs batch statistics across a mesh axis inside
+      shard_map/pmap — the TPU-native replacement for
+      SyncBatchNorm.convert_sync_batchnorm (engine/forgery_engine.py:142).
+    * `frozen_bias` omits beta (the bottleneck BN freezes bias at zero,
+      model/unidefense.py:104-107).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    use_running_average: Optional[bool] = None
+    frozen_bias: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
+        scale = self.param("scale", jax.nn.initializers.ones, (feat,), jnp.float32)
+        if self.frozen_bias:
+            bias = jnp.zeros(feat, jnp.float32)
+        else:
+            bias = self.param("bias", jax.nn.initializers.zeros, (feat,), jnp.float32)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            n = 1
+            for ax in reduce_axes:
+                n *= x.shape[ax]
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(xf * xf, axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n *= jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                n = jnp.asarray(n, jnp.float32)
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """nn.InstanceNorm2d(affine=True) parity: per-sample, per-channel spatial
+    normalisation with no running stats (decoder norm, model/unidefense.py:54)."""
+
+    epsilon: float = 1e-5
+    affine: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            scale = self.param("scale", jax.nn.initializers.ones, (feat,), jnp.float32)
+            bias = self.param("bias", jax.nn.initializers.zeros, (feat,), jnp.float32)
+            y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class Classifier(nn.Module):
+    """Linear head with N(0, 0.01) weights, zero bias (model/modules.py:24-32)."""
+
+    num_classes: int = 2
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.num_classes,
+            kernel_init=jax.nn.initializers.normal(0.01),
+            bias_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class SFConv(nn.Module):
+    """Spatial-Frequency convolution.
+
+    Blend of a spatial KxK conv and a frequency branch (rfft2 -> dense 1x1 on
+    the (real ‖ imag) channel stack -> irfft2, average-pooled to the spatial
+    branch resolution when strided), gated by sigmoid(sf_coef) with sf_coef
+    initialised to -10 so training starts ≈ pure-spatial.
+
+    Parity targets: model/resnet/exp.py:21-54 (int padding variant) and
+    model/efficientnet/exp.py:7-65 (TF-SAME variant; padding='SAME' here).
+    The frequency 1x1 conv is dense over 2C channels even when the spatial
+    conv is grouped/depthwise — that is a trailing-axis matmul, ideal for the
+    MXU.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: Padding = 0
+    groups: int = 1
+    use_bias: bool = False
+    freq_norm: Optional[str] = "ortho"
+    kernel_init: Callable = torch_default_init
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        spat = Conv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            groups=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+        spec = spectrum_channels(x, norm=self.freq_norm)  # (N, H, Wf, 2C) f32
+        spec = nn.Conv(
+            2 * self.features,
+            (1, 1),
+            use_bias=False,
+            kernel_init=torch_default_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="freq_conv",
+        )(spec.astype(self.dtype or x.dtype))
+        freq = irfft2(from_real_channels(spec.astype(jnp.float32)), s=(h, w), norm=self.freq_norm)
+        if freq.shape[1:3] != spat.shape[1:3]:
+            freq = adaptive_avg_pool(freq, spat.shape[1], spat.shape[2])
+        freq = freq.astype(spat.dtype)
+
+        sf_coef = self.param("sf_coef", lambda key: jnp.asarray(-10.0, jnp.float32))
+        coef = jax.nn.sigmoid(sf_coef).astype(spat.dtype)
+        return (1.0 - coef) * spat + coef * freq
+
+
+def conv_or_sfconv(use_sf: bool, **kwargs):
+    """SFConv substitution helper mirroring the reference's channel-match gate
+    (model/resnet/exp.py:95-98,167-191)."""
+    if use_sf:
+        return SFConv(**kwargs)
+    kwargs.pop("freq_norm", None)
+    return Conv(**kwargs)

@@ -1,0 +1,36 @@
+from unidefense_tpu.ops.fft import (
+    rfft2,
+    irfft2,
+    to_real_channels,
+    from_real_channels,
+    spectrum_channels,
+)
+from unidefense_tpu.ops.resize import (
+    bilinear_resize,
+    nearest_resize,
+    adaptive_avg_pool,
+    global_avg_pool,
+    max_pool,
+)
+from unidefense_tpu.ops.style import frequency_style_transfer, spatial_style_transfer
+from unidefense_tpu.ops.perturb import random_noise, gaussian_blur, downscale
+from unidefense_tpu.ops.coral import coral
+
+__all__ = [
+    "rfft2",
+    "irfft2",
+    "to_real_channels",
+    "from_real_channels",
+    "spectrum_channels",
+    "bilinear_resize",
+    "nearest_resize",
+    "adaptive_avg_pool",
+    "global_avg_pool",
+    "max_pool",
+    "frequency_style_transfer",
+    "spatial_style_transfer",
+    "random_noise",
+    "gaussian_blur",
+    "downscale",
+    "coral",
+]

@@ -1,0 +1,54 @@
+"""CORAL per-sample color transfer.
+
+JAX re-design of utils/operation.py:6-45: whiten the source's 3x3 channel
+covariance and re-color with the target's. The matrices are 3x3, so the SVDs
+are trivial; the op is vmapped over the batch so the whole perturbation branch
+stays inside one jitted step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _mat_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric 3x3 matrix square root via SVD (utils/operation.py:15-17)."""
+    u, d, vt = jnp.linalg.svd(x)
+    return (u * jnp.sqrt(d)[None, :]) @ vt
+
+
+def _flatten_mean_std(feat: jnp.ndarray):
+    """HWC image -> (3, HW) flattened channels with mean/std per channel.
+
+    torch .std() uses the unbiased (ddof=1) estimator; match it.
+    """
+    f = feat.reshape(-1, feat.shape[-1]).T  # (3, HW)
+    mean = f.mean(axis=-1, keepdims=True)
+    std = f.std(axis=-1, keepdims=True, ddof=1)
+    return f, mean, std
+
+
+def coral_single(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """CORAL transfer for one HWC image pair (utils/operation.py:20-45)."""
+    dtype = source.dtype
+    source = source.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    sf, sm, ss = _flatten_mean_std(source)
+    s_norm = (sf - sm) / ss
+    s_cov = s_norm @ s_norm.T + eye
+
+    tf, tm, ts = _flatten_mean_std(target)
+    t_norm = (tf - tm) / ts
+    t_cov = t_norm @ t_norm.T + eye
+
+    transfer = _mat_sqrt(t_cov) @ (jnp.linalg.inv(_mat_sqrt(s_cov)) @ s_norm)
+    out = transfer * ts + tm
+    return out.T.reshape(source.shape).astype(dtype)
+
+
+def coral(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Batched CORAL over NHWC stacks (vmap of :func:`coral_single`)."""
+    return jax.vmap(coral_single)(source, target)
