@@ -1,0 +1,83 @@
+"""Checkpointing with real resume (orbax).
+
+The reference saves rank-0 torch state_dicts of the model only — optimizer /
+scheduler state is lost, and `_load_ckpt` raises NotImplementedError in every
+engine, so `resume: True` is broken there (engine/forgery_engine.py:211-213,
+SURVEY.md §5). Here a checkpoint carries the FULL TrainState (params, batch
+stats, optimizer state, step) plus the engine's best-metric bookkeeping, so
+training resumes exactly.
+
+Layout: <run_dir>/ckpt/{best,latest}/ orbax trees + a small JSON sidecar of
+scalar metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from unidefense_tpu.train.step import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str):
+        self.run_dir = os.path.abspath(run_dir)
+        self.ckpt_dir = os.path.join(self.run_dir, "ckpt")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, best: bool) -> str:
+        return os.path.join(self.ckpt_dir, "best" if best else "latest")
+
+    def save(self, state: TrainState, meta: dict, best: bool = False):
+        """Save state + scalar metadata; mirrors the per-validation
+        best/latest scheme (engine/forgery_engine.py:215-223)."""
+        path = self._path(best)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        with open(tmp + ".meta.json", "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        if os.path.exists(path + ".meta.json"):
+            os.remove(path + ".meta.json")
+        os.rename(tmp, path)
+        os.rename(tmp + ".meta.json", path + ".meta.json")
+
+    def exists(self, best: bool = False) -> bool:
+        return os.path.exists(self._path(best))
+
+    def restore(self, target_state: TrainState, best: bool = False) -> tuple[TrainState, dict]:
+        """Restore into the abstract structure of `target_state`."""
+        path = self._path(best)
+        restored = self._ckptr.restore(
+            path, jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+        )
+        meta = {}
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return restored, meta
+
+
+def save_params_only(path: str, params: Any):
+    """Export inference weights (no optimizer state)."""
+    ocp.StandardCheckpointer().save(os.path.abspath(path), jax.device_get(params))
+
+
+def load_params_only(path: str, target: Any) -> Any:
+    return ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    )

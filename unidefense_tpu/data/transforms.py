@@ -1,0 +1,158 @@
+"""Transform registry — albumentations-compatible YAML surface, split into a
+host stage and a fused device stage.
+
+The reference builds albumentations pipelines by name-reflection from the
+dataset YAML (dataset/abstract_dataset.py:36-40), then runs decode + augment
+synchronously inside the training loop — the known input bottleneck
+(SURVEY.md §3.5). The TPU redesign splits each pipeline:
+
+* host stage (numpy/cv2, per image, ragged sizes): Resize to the fixed
+  training resolution, plus host-only corruptions (JPEG re-compression);
+* device stage (one jitted function over the whole uint8 batch): horizontal
+  flip, normalize, gaussian blur/noise, brightness/contrast, saturation
+  jitter — everything with fixed shapes fuses into a single XLA program that
+  runs on-device, overlapping host decode via the prefetcher.
+
+Supported YAML names (the ones used across config_template/*): Resize,
+HorizontalFlip, Normalize, ImageCompression, GaussianBlur, GaussNoise,
+RandomBrightnessContrast, ColorJitter, OneOf.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidefense_tpu.ops.perturb import _gaussian_kernel_1d
+
+_RGB_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)  # ITU-R 601 luma
+
+
+@dataclass
+class DevicePipeline:
+    """Fused on-device augmentation: uint8 NHWC batch -> float NHWC batch."""
+
+    mean: tuple = (0.5, 0.5, 0.5)
+    std: tuple = (0.5, 0.5, 0.5)
+    hflip_p: float = 0.0
+    # corruption OneOf (UniAttack Protocol I distorted test,
+    # dataset/uniattack.py:90-107); host handles ImageCompression.
+    corrupt: bool = False
+    out_dtype: Any = jnp.float32
+
+    def __call__(self, batch_u8: jnp.ndarray, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        x = batch_u8.astype(jnp.float32) / 255.0
+        n = x.shape[0]
+        if self.corrupt and rng is not None:
+            rng, kc = jax.random.split(rng)
+            x = _corrupt_oneof(kc, x)
+        if self.hflip_p > 0 and rng is not None:
+            rng, kf = jax.random.split(rng)
+            flip = jax.random.uniform(kf, (n, 1, 1, 1)) < self.hflip_p
+            x = jnp.where(flip, x[:, :, ::-1, :], x)
+        mean = jnp.asarray(self.mean, jnp.float32)
+        std = jnp.asarray(self.std, jnp.float32)
+        x = (x - mean) / std
+        return x.astype(self.out_dtype)
+
+
+def _blur(x, ksize):
+    k = jnp.asarray(_gaussian_kernel_1d(ksize), x.dtype)
+    pad = ksize // 2
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    kh = jnp.tile(k.reshape(ksize, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(k.reshape(1, ksize, 1, 1), (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    xp = jax.lax.conv_general_dilated(xp, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    xp = jax.lax.conv_general_dilated(xp, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    return xp
+
+
+def _corrupt_oneof(rng, x):
+    """Per-batch random pick among blur / noise / contrast / saturation
+    (device half of the distorted-test OneOf; JPEG runs on host)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    idx = jax.random.randint(k1, (), 0, 4)
+
+    def do_blur(x):
+        ksize = 9 + 2 * jax.random.randint(k2, (), 0, 2)  # 9 or 11
+        return jax.lax.switch(
+            (ksize - 9) // 2, [lambda x: _blur(x, 9), lambda x: _blur(x, 11)], x
+        )
+
+    def do_noise(x):
+        var = jax.random.uniform(k2, (), minval=10.0, maxval=20.0) / (255.0**2)
+        return jnp.clip(x + jnp.sqrt(var) * jax.random.normal(k3, x.shape), 0.0, 1.0)
+
+    def do_contrast(x):
+        alpha = 1.0 + jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
+        return jnp.clip(x * alpha + 0.5 * (1 - alpha), 0.0, 1.0)
+
+    def do_saturation(x):
+        alpha = 1.0 + jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
+        gray = jnp.sum(x * jnp.asarray(_RGB_W), axis=-1, keepdims=True)
+        return jnp.clip(alpha * x + (1 - alpha) * gray, 0.0, 1.0)
+
+    return jax.lax.switch(idx, [do_blur, do_noise, do_contrast, do_saturation], x)
+
+
+@dataclass
+class HostPipeline:
+    """Per-image host stage. Applied post-crop; outputs fixed-size uint8."""
+
+    height: int = 256
+    width: int = 256
+    jpeg_compress: Optional[tuple[int, int]] = None  # (q_lo, q_hi) with prob
+    jpeg_p: float = 0.0
+    rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(2022))
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.shape[0] != self.height or img.shape[1] != self.width:
+            img = cv2.resize(img, (self.width, self.height), interpolation=cv2.INTER_LINEAR)
+        if self.jpeg_compress is not None and self.rng.random() < self.jpeg_p:
+            q = int(self.rng.integers(self.jpeg_compress[0], self.jpeg_compress[1] + 1))
+            ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
+            if ok:
+                img = cv2.imdecode(enc, cv2.IMREAD_COLOR)[:, :, ::-1]
+        return img
+
+
+def build_transforms(cfg_list: list[dict], corrupt_distorted: bool = False):
+    """Translate an albumentations-style YAML transform list (e.g.
+    config_template/forgery/data_ffc23.yml:24-49) into (HostPipeline,
+    DevicePipeline)."""
+    host = HostPipeline()
+    dev_kwargs: dict = {}
+    for t in cfg_list or []:
+        name = t["name"]
+        params = t.get("params", {}) or {}
+        if name == "Resize":
+            host.height = int(params["height"])
+            host.width = int(params["width"])
+        elif name == "HorizontalFlip":
+            dev_kwargs["hflip_p"] = float(params.get("p", 0.5))
+        elif name == "Normalize":
+            dev_kwargs["mean"] = tuple(params.get("mean", (0.5, 0.5, 0.5)))
+            dev_kwargs["std"] = tuple(params.get("std", (0.5, 0.5, 0.5)))
+        elif name == "ImageCompression":
+            host.jpeg_compress = (
+                int(params.get("quality_lower", 99)),
+                int(params.get("quality_upper", 100)),
+            )
+            host.jpeg_p = float(params.get("p", 0.5))
+        elif name in ("GaussianBlur", "GaussNoise", "RandomBrightnessContrast", "ColorJitter", "OneOf"):
+            dev_kwargs["corrupt"] = True
+        else:
+            raise KeyError(f"Transform '{name}' not supported")
+    if corrupt_distorted:
+        dev_kwargs["corrupt"] = True
+        host.jpeg_compress = (50, 60)
+        host.jpeg_p = 0.2
+    return host, DevicePipeline(**dev_kwargs)

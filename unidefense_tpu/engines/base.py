@@ -1,0 +1,276 @@
+"""AbstractEngine — shared lifecycle for the three task engines.
+
+Mirrors the responsibilities of engine/abstract_engine.py (settings phases,
+seeding, training-step algorithm, eval aggregation, run-dir/logging) with the
+TPU-native execution model:
+
+* the two-pass training algorithm lives in train/step.py as ONE jitted
+  function (instead of eager train_unidefense_model);
+* one process drives all devices through a Mesh('data') + shard_map instead
+  of per-rank DDP processes;
+* checkpoints carry full TrainState via orbax and actually resume
+  (the reference's `resume: True` path raises NotImplementedError,
+  engine/forgery_engine.py:211-213).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidefense_tpu.checkpoint import CheckpointManager
+from unidefense_tpu.models.registry import build_model
+from unidefense_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    shard_eval_step,
+    shard_train_step,
+    split_device_batch,
+)
+from unidefense_tpu.train.optim import build_optimizer
+from unidefense_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from unidefense_tpu.utils.logging import TrainLogger
+from unidefense_tpu.utils.meters import Logger, Timer, center_print
+from unidefense_tpu.utils.metrics import merge_video_dicts
+
+
+class AbstractEngine:
+    engine_name = "Abstract"
+
+    def __init__(self, config: dict, stage: str = "Train"):
+        if stage not in ("Train", "Test"):
+            raise ValueError(f"stage should be 'Train' or 'Test', got '{stage}'")
+        self.config = config
+        self.stage = stage
+        model_cfg = dict(config.get("model") or {})
+        data_cfg = dict(config.get("data") or {})
+        config_cfg = dict(config.get("config") or {})
+
+        self.model_name = model_cfg.pop("name", None)
+        self.model_cfg = model_cfg
+        self.data_cfg = data_cfg
+        self.config_cfg = config_cfg
+        self.dataset_config: Optional[dict] = None
+
+        self.debug = bool(config_cfg.get("debug", False))
+        self.offline = bool(config_cfg.get("offline", False))
+        self.local_rank = int(config_cfg.get("local_rank", 0) or 0)
+        self.precision = str(config_cfg.get("precision", "fp32"))
+        self.compute_dtype = jnp.bfloat16 if self.precision == "bf16" else None
+
+        self.num_devices = config_cfg.get("num_devices")
+        self.mesh = create_mesh(self.num_devices)
+        self.n_dev = self.mesh.devices.size
+        self.multi_device = self.n_dev > 1
+
+        self.best_acc = 0.0
+        self.best_auc = 0.0
+        self.best_hter = 1.0e8
+        self.best_step = 1
+        self.start_step = 1
+
+        self.run_dir: Optional[str] = None
+        self.logger: Optional[TrainLogger] = None
+        self.ckpt: Optional[CheckpointManager] = None
+        self.base_rng = self.fixed_randomness()
+
+        self._initiated_settings(model_cfg, data_cfg, config_cfg)
+        if stage == "Train":
+            self._train_settings(model_cfg, data_cfg, config_cfg)
+        else:
+            self._test_settings(model_cfg, data_cfg, config_cfg)
+
+    # ------------------------------------------------------------------ setup
+
+    @staticmethod
+    def fixed_randomness(seed: int = 42) -> jax.Array:
+        """Single explicit PRNG root instead of global seeds
+        (engine/abstract_engine.py:113-120 seeds everything with 42)."""
+        return jax.random.PRNGKey(seed)
+
+    def _mprint(self, content: str = ""):
+        if jax.process_index() == 0:
+            print(content)
+
+    def _initiated_settings(self, model_cfg, data_cfg, config_cfg):
+        raise NotImplementedError
+
+    def _train_settings(self, model_cfg, data_cfg, config_cfg):
+        raise NotImplementedError
+
+    def _test_settings(self, model_cfg, data_cfg, config_cfg):
+        raise NotImplementedError
+
+    def _setup_run_dir(self, options: dict):
+        """Create runs/<model>/<id>/, tee stdout, init logging
+        (engine/forgery_engine.py:102-125)."""
+        if self.debug:
+            return
+        run_id = self.config_cfg.get(
+            "id", time.strftime("%Y-%m-%d...%H.%M.%S", time.localtime())
+        )
+        self.run_id = run_id
+        self.run_dir = os.path.join("runs", self.model_name, run_id)
+        resume = bool(self.config_cfg.get("resume", False))
+        if jax.process_index() == 0:
+            if not resume:
+                if os.path.exists(self.run_dir):
+                    raise ValueError(f"Error: given id '{run_id}' already exists.")
+                os.makedirs(self.run_dir, exist_ok=True)
+                self.dataset_config = options
+            print(f"Logging directory: {self.run_dir}.")
+            sys.stdout = Logger(os.path.join(self.run_dir, "records.txt"))
+            center_print("Train configurations begin.")
+            print({k: v for k, v in self.config.items() if k != "cfg_path"})
+            print(options)
+            center_print("Train configurations end.")
+        self.ckpt = CheckpointManager(self.run_dir)
+        self.logger = TrainLogger(
+            self.run_dir,
+            project="UniDefense",
+            group=self.engine_name,
+            name=f"{self.model_name}/{run_id}",
+            config={"model": self.model_cfg, "config": self.config_cfg,
+                    "data": self.data_cfg, "dataset": options},
+            offline=self.offline,
+            enabled=jax.process_index() == 0,
+        )
+
+    def _build_model(self):
+        axis_name = DATA_AXIS if self.multi_device else None
+        self.model = build_model(
+            self.model_name, self.model_cfg, axis_name=axis_name, dtype=self.compute_dtype
+        )
+        return self.model
+
+    def _build_training(self, sample_shape, sum_real: int, sum_fake: int,
+                        num_steps: int, device_tf=None):
+        """Construct state + jitted train/eval steps. sum_real/sum_fake are
+        PER-DEVICE counts (the reference's per-rank batch halves)."""
+        model = self._build_model()
+        params_shapes = jax.eval_shape(
+            lambda: model.init(
+                {"params": self.base_rng, "dropout": self.base_rng},
+                jnp.zeros(sample_shape, jnp.float32),
+                train=False,
+            )
+        )
+        self.tx, self.lr_schedule = build_optimizer(self.config_cfg, params_shapes["params"])
+        sample_x = jnp.zeros(sample_shape, jnp.float32)
+        self.state = create_train_state(model, self.tx, self.base_rng, sample_x)
+
+        step_fn = make_train_step(
+            model,
+            self.tx,
+            self.config_cfg,
+            num_steps=num_steps,
+            sum_real=sum_real,
+            sum_fake=sum_fake,
+            faithful_grad_accumulation=bool(
+                self.config_cfg.get("faithful_grad_accumulation", True)
+            ),
+            freq_norm=self.model_cfg.get("freq_norm", "ortho"),
+            axis_name=DATA_AXIS if self.multi_device else None,
+            preprocess=device_tf,
+        )
+        eval_fn = make_eval_step(model, preprocess=device_tf)
+        if self.multi_device:
+            self.train_step = shard_train_step(step_fn, self.mesh)
+            self.eval_step = shard_eval_step(eval_fn, self.mesh)
+        else:
+            self.train_step = jax.jit(step_fn, donate_argnums=0)
+            self.eval_step = jax.jit(eval_fn)
+        return model
+
+    def _maybe_resume(self):
+        """Real resume: restore full TrainState + best-metric bookkeeping."""
+        if not self.config_cfg.get("resume", False) or self.ckpt is None:
+            return
+        best = bool(self.config_cfg.get("resume_best", False))
+        if not self.ckpt.exists(best):
+            self._mprint(f"Resume requested but no checkpoint at {self.run_dir}; starting fresh.")
+            return
+        self.state, meta = self.ckpt.restore(self.state, best=best)
+        self.best_acc = meta.get("best_acc", self.best_acc)
+        self.best_auc = meta.get("best_auc", self.best_auc)
+        self.best_hter = meta.get("best_hter", self.best_hter)
+        self.best_step = meta.get("best_step", self.best_step)
+        self.start_step = int(meta.get("step", 0)) + 1
+        self._mprint(f"Resumed from step {self.start_step - 1} (best={best}).")
+
+    # ---------------------------------------------------------------- helpers
+
+    def _meta(self, step: int) -> dict:
+        return {
+            "step": step,
+            "best_step": self.best_step,
+            "best_auc": self.best_auc,
+            "best_acc": self.best_acc,
+            "best_hter": self.best_hter,
+        }
+
+    def _save_ckpt(self, step: int, best: bool = False):
+        if self.ckpt is not None and jax.process_index() == 0:
+            self.ckpt.save(self.state, self._meta(step), best=best)
+
+    def assemble_batch(self, images_real, labels_real, images_fake, labels_fake):
+        """Global batch with the per-device real-first layout
+        (parallel/mesh.split_device_batch)."""
+        if self.multi_device:
+            imgs, lbls = split_device_batch(
+                images_real, labels_real, images_fake, labels_fake, self.n_dev
+            )
+        else:
+            imgs = np.concatenate([images_real, images_fake], axis=0)
+            lbls = np.concatenate([labels_real, labels_fake], axis=0)
+        return {"image": jnp.asarray(imgs), "label": jnp.asarray(lbls)}
+
+    def eval_split(self, batcher_or_loader, loader_len, load_fn, step: int,
+                   desc: str = "val") -> tuple[dict, dict]:
+        """Score a split, grouping frame probabilities by video
+        (engine/forgery_engine.py:336-360). load_fn(i) -> (batch dict, tgt)."""
+        prob_dict: dict[str, list] = {}
+        tgt_dict: dict[str, list] = {}
+        eval_rng = jax.random.fold_in(self.base_rng, 777)
+        for i in range(loader_len):
+            out, tgt = load_fn(i)
+            imgs = jnp.asarray(out["images"])
+            probs, _, _ = self.eval_step(
+                self.state.params, self.state.batch_stats, imgs,
+                jax.random.fold_in(eval_rng, i),
+            )
+            probs = np.asarray(probs)
+            for p, pr, tg in zip(out["path"], probs, np.asarray(tgt)):
+                vid = p.rsplit("/", 1)[0]
+                prob_dict.setdefault(vid, []).append(float(pr))
+                tgt_dict.setdefault(vid, []).append(float(tg))
+            if i % 50 == 0:
+                self._mprint(f"Eval {desc} ({i + 1}/{loader_len}), Global Step {step}")
+        return prob_dict, tgt_dict
+
+    @staticmethod
+    def gather_eval_output(prob_dict: dict, tgt_dict: dict) -> dict:
+        """Merge + aggregate to frame/video lists. Single-process collects
+        all devices' outputs already (SPMD), so no object gather is needed —
+        the multi-host path would allgather (video-hash, prob) arrays here."""
+        return merge_video_dicts([prob_dict], [tgt_dict])
+
+    def train(self):
+        raise NotImplementedError
+
+    def validate(self, step: int, timer: Timer):
+        raise NotImplementedError
+
+    def test(self):
+        raise NotImplementedError

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from unidefense_tpu.models.layers import BatchNorm, Conv
-from unidefense_tpu.ops.fft import from_real_channels, irfft2, spectrum_channels
+from unidefense_tpu.ops.fft import irfft2_packed, spectrum_channels
 from unidefense_tpu.ops.resize import bilinear_resize
 
 
@@ -104,10 +104,8 @@ class DualSpaceAttention(nn.Module):
             dtype=self.dtype,
             name="freq_filter",
         )(emb_freq, freq_diff, train)
-        freq_filtered = irfft2(
-            from_real_channels(freq_filtered.astype(jnp.float32)),
-            s=(eh, ew),
-            norm=self.freq_norm,
+        freq_filtered = irfft2_packed(
+            freq_filtered, s=(eh, ew), norm=self.freq_norm
         ).astype(embedding.dtype)
 
         # spatial attention

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unidefense_tpu.ops.fft import from_real_channels, irfft2, spectrum_channels
+from unidefense_tpu.ops.fft import irfft2_packed, spectrum_channels
 from unidefense_tpu.ops.resize import adaptive_avg_pool
 
 # torch Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
@@ -217,7 +217,7 @@ class SFConv(nn.Module):
             param_dtype=jnp.float32,
             name="freq_conv",
         )(spec.astype(self.dtype or x.dtype))
-        freq = irfft2(from_real_channels(spec.astype(jnp.float32)), s=(h, w), norm=self.freq_norm)
+        freq = irfft2_packed(spec, s=(h, w), norm=self.freq_norm)
         if freq.shape[1:3] != spat.shape[1:3]:
             freq = adaptive_avg_pool(freq, spat.shape[1], spat.shape[2])
         freq = freq.astype(spat.dtype)

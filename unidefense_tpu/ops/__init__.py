@@ -1,9 +1,11 @@
 from unidefense_tpu.ops.fft import (
     rfft2,
     irfft2,
+    irfft2_packed,
     to_real_channels,
     from_real_channels,
     spectrum_channels,
+    abs_angle_packed,
 )
 from unidefense_tpu.ops.resize import (
     bilinear_resize,
@@ -19,6 +21,8 @@ from unidefense_tpu.ops.coral import coral
 __all__ = [
     "rfft2",
     "irfft2",
+    "irfft2_packed",
+    "abs_angle_packed",
     "to_real_channels",
     "from_real_channels",
     "spectrum_channels",

@@ -100,10 +100,9 @@ def nearest_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """NHWC max pool with explicit symmetric padding (torch nn.MaxPool2d)."""
-    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
-        neg_inf,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from unidefense_tpu.ops.fft import irfft2, rfft2
+from unidefense_tpu.ops.fft import abs_angle_packed, irfft2_packed, spectrum_channels
 
 
 def _sample_lmda(rng: jax.Array, batch: int, dtype) -> jnp.ndarray:
@@ -25,17 +25,21 @@ def frequency_style_transfer(
     """Mix FFT amplitudes of content/style, keep content phase.
 
     Parity target: model/modules.py:35-55 (always norm='ortho' there).
+    The amplitude/phase math runs on channel-packed real spectra (amp *
+    exp(1j*phase) == amp * unit-vector components) — complex dtype appears
+    only inside the FFT custom calls, which the axon TPU backend requires.
     NHWC layout; returns same shape/dtype as `content`.
     """
     n, h, w, c = content.shape
     lmda = _sample_lmda(rng, n, jnp.float32)[:, None, None, None]
 
-    fa = rfft2(content, norm=norm)
-    fb = rfft2(style, norm=norm)
-    amp = lmda * jnp.abs(fa) + (1.0 - lmda) * jnp.abs(fb)
-    phase = jnp.angle(fa)
-    mixed = amp * jnp.exp(1j * phase)
-    out = irfft2(mixed, s=(h, w), norm=norm)
+    fa = spectrum_channels(content, norm=norm)
+    fb = spectrum_channels(style, norm=norm)
+    amp_a, unit_re, unit_im = abs_angle_packed(fa)
+    amp_b, _, _ = abs_angle_packed(fb)
+    amp = lmda * amp_a + (1.0 - lmda) * amp_b
+    mixed = jnp.concatenate([amp * unit_re, amp * unit_im], axis=-1)
+    out = irfft2_packed(mixed, s=(h, w), norm=norm)
     return out.astype(content.dtype)
 
 

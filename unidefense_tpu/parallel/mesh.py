@@ -1,0 +1,91 @@
+"""Data-parallel execution over a 1-D device mesh.
+
+TPU-native replacement for the reference's process-per-GPU DDP stack
+(SURVEY.md §2.9): instead of torch.distributed.launch + NCCL process groups +
+DistributedSampler + SyncBatchNorm wrappers (engine/forgery_engine.py:51-145),
+one process drives all local devices through `shard_map` over a
+Mesh(('data',)):
+
+* the global batch is laid out [dev0-real ‖ dev0-fake ‖ dev1-real ‖ ...] and
+  sharded on the leading axis, so every device sees a local real-first
+  sub-batch — the same per-rank batch contract DDP gave the triplet loss;
+* gradients / scalar metrics are `lax.pmean`-ed inside the step (replacing
+  DDP's allreduce and utils/misc.py:18-22 reduce_tensor);
+* BatchNorm statistics sync over the same axis (layers.BatchNorm axis_name),
+  replacing SyncBatchNorm;
+* XLA collectives synchronize implicitly — no dist.barrier needed.
+
+Multi-host: call jax.distributed.initialize() before create_mesh(); the mesh
+then spans all slices and the same shard_map'd step rides ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D data mesh over the first `num_devices` devices (default: all)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+
+
+def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """Wrap a two-pass train step (built with axis_name=DATA_AXIS and
+    per-device sum_real/sum_fake) for SPMD execution.
+
+    Signature: (state, batch, rng) -> (state, metrics, cls_out) with state
+    and rng replicated, batch sharded on axis 0, metrics pmean-replicated and
+    cls_out returned sharded (stitched to the global batch on the host).
+    """
+    mapped = _shard_map(
+        train_step,
+        mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(DATA_AXIS)),
+    )
+    return jax.jit(mapped, donate_argnums=0)
+
+
+def shard_eval_step(eval_step: Callable, mesh: Mesh) -> Callable:
+    """Data-parallel inference via jit + GSPMD sharding annotations: params
+    replicated, batch sharded on the leading axis. No collectives are needed
+    in eval (per-frame probabilities are independent), so plain jit with
+    in_shardings is sufficient and lets XLA partition automatically."""
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, replicated, batch_sharding),
+    )
+
+
+def split_device_batch(images_real, labels_real, images_fake, labels_fake, num_devices: int):
+    """Interleave per-device [real ‖ fake] blocks into the global batch layout
+    expected by shard_train_step.
+
+    Inputs are the full real and fake batches (numpy, leading axis divisible
+    by num_devices). Returns (images, labels) with layout
+    [d0-real, d0-fake, d1-real, d1-fake, ...].
+    """
+    nr = images_real.shape[0] // num_devices
+    nf = images_fake.shape[0] // num_devices
+    imgs, lbls = [], []
+    for d in range(num_devices):
+        imgs.append(images_real[d * nr : (d + 1) * nr])
+        imgs.append(images_fake[d * nf : (d + 1) * nf])
+        lbls.append(labels_real[d * nr : (d + 1) * nr])
+        lbls.append(labels_fake[d * nf : (d + 1) * nf])
+    return np.concatenate(imgs, axis=0), np.concatenate(lbls, axis=0)
