@@ -1,0 +1,81 @@
+"""Benchmark: EfficientNet-b4 UniDefense two-pass training throughput @256².
+
+Measures images/sec/chip for the full training step (two forward/backward
+passes + two optimizer updates, batch 10 real + 10 fake — the reference's
+per-GPU workload, README.md:110-120 + config_template/forgery/model_udeb4.yml:33).
+BASELINE.md's north star: >=2x an H100 running the PyTorch reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference implementation throughput for the same workload (EfficientNet-b4
+# dual-space two-pass train step @256², batch 10+10). The reference repo
+# publishes no numbers (BASELINE.md); this constant is the measured PyTorch
+# eager CPU-extrapolated placeholder until an H100 measurement lands — update
+# BASELINE.md when it does. vs_baseline reports value/baseline.
+H100_BASELINE_IMG_PER_SEC = float(os.environ.get("UD_BASELINE_IPS", "0") or 0)
+
+
+def main():
+    from unidefense_tpu.models.registry import load_model
+    from unidefense_tpu.train.optim import build_optimizer
+    from unidefense_tpu.train.step import create_train_state, make_train_step
+
+    batch_real = batch_fake = 10
+    n = batch_real + batch_fake
+    size = 256
+    steps = 20
+
+    model = load_model("UDEB4")(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (n, size, size, 3), jnp.float32)
+    labels = jnp.array([0] * batch_real + [1] * batch_fake)
+
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng}, x, train=False)
+    )
+    cfg = {
+        "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                      "weight_decay": 5e-6, "amsgrad": True},
+        "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+        "lambda_mask": 0.1, "lambda_fac": 0.1,
+    }
+    tx, _ = build_optimizer(cfg, shapes["params"])
+    state = create_train_state(model, tx, rng, x)
+    step_fn = jax.jit(
+        make_train_step(model, tx, cfg, num_steps=90000,
+                        sum_real=batch_real, sum_fake=batch_fake),
+        donate_argnums=0,
+    )
+    batch = {"image": x, "label": labels}
+
+    # warmup / compile
+    state, metrics, _ = step_fn(state, batch, jax.random.fold_in(rng, 0))
+    jax.block_until_ready(metrics)
+
+    t0 = time.time()
+    for i in range(1, steps + 1):
+        state, metrics, _ = step_fn(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+
+    ips = n * steps / dt
+    vs = ips / H100_BASELINE_IMG_PER_SEC if H100_BASELINE_IMG_PER_SEC else None
+    print(json.dumps({
+        "metric": "udeb4_train_images_per_sec_per_chip_256",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Golden parity: convert reference torch backbones -> flax and compare
+forward outputs on identical inputs (SURVEY.md §4 'golden parity').
+
+These tests import the READ-ONLY reference implementation at /root/reference
+purely as a numerical oracle; they skip when it is absent.
+"""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+
+
+def _install_stubs():
+    """Stub torchvision/timm so the reference package imports on this image."""
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+
+    dummy = lambda *a, **k: None
+    stub("torchvision")
+    stub("torchvision.transforms")
+    stub("torchvision.transforms.functional", gaussian_blur=dummy)
+    stub("torchvision.datasets", VisionDataset=object)
+    stub("timm")
+    stub("timm.models")
+    stub("timm.models.layers", DropBlock2d=object, DropPath=object, AvgPool2dSame=object,
+         BlurPool2d=object, GroupNorm=object, create_attn=dummy, get_attn=dummy,
+         create_classifier=lambda *a, **k: (torch.nn.AdaptiveAvgPool2d(1), torch.nn.Identity()))
+    stub("timm.models.helpers",
+         build_model_with_cfg=lambda cls, variant, pretrained, **kw: cls(**kw),
+         checkpoint_seq=dummy)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    _install_stubs()
+    from model.efficientnet import EfficientNet as TorchEffNet  # noqa
+
+    return {"effnet": TorchEffNet}
+
+
+def _forward_flax_effnet(model, variables, x_nhwc):
+    return np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x_nhwc)
+    )
+
+
+@pytest.mark.parametrize("freq_norm", [None, "ortho"])
+def test_efficientnet_b0_forward_parity(ref_modules, freq_norm):
+    """Random-init torch b0 -> convert -> identical pooled features."""
+    torch.manual_seed(0)
+    tnet = ref_modules["effnet"].from_name(
+        "efficientnet-b0", num_classes=2, include_top=False, freq_norm=freq_norm,
+        image_size=64,
+    )
+    tnet.eval()
+
+    from unidefense_tpu.models.convert import load_torch_backbone
+    from unidefense_tpu.models.efficientnet import EfficientNet
+
+    fnet = EfficientNet(model_name="efficientnet-b0", include_top=False,
+                        freq_norm=freq_norm)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    variables = fnet.init(rngs, jnp.asarray(x), train=False)
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "efficientnet",
+                                    strict=True)
+
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = _forward_flax_effnet(fnet, variables, jnp.asarray(x))
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_resnet18_forward_parity(ref_modules):
+    """Random-init reference custom_resnet18 (with SFConv) -> convert ->
+    identical backbone feature maps (the classifier head is stubbed out in
+    the reference import, so we compare forward_features)."""
+    from model.resnet.exp import custom_resnet18  # noqa
+
+    torch.manual_seed(0)
+    tnet = custom_resnet18(freq_norm="ortho")
+    tnet.eval()
+
+    from unidefense_tpu.models.convert import load_torch_backbone
+    from unidefense_tpu.models.resnet import ResNet
+    from unidefense_tpu.ops.resize import max_pool
+
+    fnet = ResNet(arch="resnet18", num_classes=1000, freq_norm="ortho")
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    variables = fnet.init(rngs, jnp.asarray(x), train=False)
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "resnet", strict=False)
+
+    with torch.no_grad():
+        ref = tnet.forward_features(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    def feats(m, xx):
+        h = m.stem(xx, False)
+        h = max_pool(h, 3, 2, 1)
+        for s in m.stages:
+            h = s(h, False)
+        return h
+
+    ours = np.asarray(
+        jax.jit(lambda v, xx: fnet.apply(v, xx, method=feats))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=2e-3, rtol=2e-3)

@@ -1,0 +1,197 @@
+"""Data-layer tests: FrameStore, transforms, synthetic FFpp dataset,
+samplers (SURVEY.md §4 'synthetic LMDB in a tmpdir')."""
+
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+
+from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
+from unidefense_tpu.data.store import FrameStore, FrameStoreWriter
+from unidefense_tpu.data.transforms import DevicePipeline, HostPipeline, build_transforms
+
+
+def _write_jpg(path, seed, size=48):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, img)
+    return img
+
+
+class TestFrameStore:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "test.udb")
+        blobs = {f"key/{i}": bytes([i]) * (i + 1) for i in range(10)}
+        with FrameStoreWriter(p) as w:
+            for k, v in blobs.items():
+                w.add(k, v)
+        store = FrameStore(p)
+        assert len(store) == 10
+        for k, v in blobs.items():
+            assert store.get(k) == v
+        assert store.get("missing") is None
+        off, length = store.get_view("key/3")
+        assert length == 4
+
+
+class TestTransforms:
+    def test_normalize_parity(self):
+        # albumentations Normalize: (img/255 - mean) / std
+        dev = DevicePipeline(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+        u8 = np.array([[[[0, 128, 255]]]], np.uint8)
+        out = np.asarray(dev(u8))
+        np.testing.assert_allclose(
+            out[0, 0, 0], [(v / 255 - 0.5) / 0.5 for v in (0, 128, 255)], atol=1e-6
+        )
+
+    def test_hflip(self):
+        import jax
+
+        dev = DevicePipeline(hflip_p=1.0)
+        u8 = np.arange(2 * 1 * 4 * 3, dtype=np.uint8).reshape(2, 1, 4, 3)
+        out = np.asarray(dev(u8, jax.random.PRNGKey(0)))
+        ref = np.asarray(dev(u8[:, :, ::-1, :], None))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_build_from_yaml_list(self):
+        cfg = [
+            {"name": "Resize", "params": {"height": 64, "width": 64}},
+            {"name": "HorizontalFlip", "params": {"p": 0.5}},
+            {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+        ]
+        host, dev = build_transforms(cfg)
+        assert (host.height, host.width) == (64, 64)
+        assert dev.hflip_p == 0.5
+        img = np.zeros((30, 20, 3), np.uint8)
+        assert host(img).shape == (64, 64, 3)
+
+    def test_corruption_finite(self):
+        import jax
+
+        dev = DevicePipeline(corrupt=True)
+        u8 = (np.random.default_rng(0).random((4, 16, 16, 3)) * 255).astype(np.uint8)
+        for seed in range(4):
+            out = np.asarray(dev(u8, jax.random.PRNGKey(seed)))
+            assert np.all(np.isfinite(out))
+
+
+@pytest.fixture
+def ffpp_root(tmp_path):
+    """Synthetic FF++ layout: jpgs + pickle index (dataset/faceforensics.py)."""
+    import torch
+
+    root = tmp_path / "ffpp"
+    index = []
+    for vid in range(3):
+        for frame in range(4):
+            rel = f"original_sequences/youtube/c23/images/{vid:03d}/{frame:04d}.jpg"
+            _write_jpg(str(root / rel), seed=vid * 10 + frame)
+            index.append((rel, 0))
+    for vid in range(2):
+        for frame in range(4):
+            rel = f"manipulated_sequences/Deepfakes/c23/images/{vid:03d}_x/{frame:04d}.jpg"
+            _write_jpg(str(root / rel), seed=100 + vid * 10 + frame)
+            index.append((rel, 1))
+    os.makedirs(root / "pickle_files", exist_ok=True)
+    torch.save(index, root / "pickle_files" / "train_c23.pickle")
+    torch.save(index, root / "pickle_files" / "test_c23.pickle")
+    return str(root)
+
+
+TRANSFORMS = [
+    {"name": "Resize", "params": {"height": 32, "width": 32}},
+    {"name": "HorizontalFlip", "params": {"p": 0.5}},
+    {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+]
+
+
+def _ffpp_cfg(root, **kw):
+    cfg = {
+        "root": root,
+        "use_lmdb": False,
+        "compression": "c23",
+        "train_transforms": TRANSFORMS,
+        "test_transforms": TRANSFORMS,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+class TestFaceForensics:
+    def test_index_and_labels(self, ffpp_root):
+        from unidefense_tpu.data.datasets import FaceForensics
+
+        ds = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin", "Deepfakes"]), "train")
+        assert len(ds) == 20
+        assert sum(ds.targets) == 8  # 2 fake videos x 4 frames
+        ds_real = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin"]), "train")
+        assert len(ds_real) == 12 and sum(ds_real.targets) == 0
+
+    def test_fpv_resample(self, ffpp_root):
+        from unidefense_tpu.data.datasets import FaceForensics
+
+        ds = FaceForensics(
+            _ffpp_cfg(ffpp_root, method=["Origin"], train_fpv=2), "train"
+        )
+        assert len(ds) == 6  # 3 videos x 2 fpv
+
+    def test_load_item_nocrop(self, ffpp_root):
+        from unidefense_tpu.data.datasets import FaceForensics
+
+        ds = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin", "Deepfakes"]), "train")
+        items = [ds[i][0] for i in range(4)]
+        labels = [ds[i][1] for i in range(4)]
+        out = ds.load_item(items, labels, crop="nocrop")
+        assert out["images"].shape == (4, 32, 32, 3)
+        assert out["images"].dtype == np.uint8
+        assert len(out["path"]) == 4
+
+    def test_load_item_4p_margin(self, ffpp_root):
+        from unidefense_tpu.data.datasets import FaceForensics
+
+        ds = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin"]), "train")
+        items = [f"{ds[0][0]} lm 10 10 20 20"]
+        out = ds.load_item(items, [0], margin=0.3, crop="4p")
+        assert out["images"].shape == (1, 32, 32, 3)
+        out2 = ds.load_item(items, [0], margin=(0.0, 0.5), crop="4p")
+        assert out2["images"].shape == (1, 32, 32, 3)
+
+
+class TestSampler:
+    def test_epoch_reshuffle(self):
+        s = EpochSampler(20, 4, shuffle=True)
+        s.set_epoch(1)
+        b1 = [b.tolist() for b in s]
+        s.set_epoch(2)
+        b2 = [b.tolist() for b in s]
+        assert b1 != b2
+        assert sorted(sum(b1, [])) == list(range(20))
+
+    def test_sharding(self):
+        shards = []
+        for sid in range(4):
+            s = EpochSampler(16, 2, shuffle=False, shard_id=sid, num_shards=4)
+            shards.append(sorted(sum((b.tolist() for b in s), [])))
+        all_idx = sorted(sum(shards, []))
+        assert all_idx == list(range(16))
+        assert all(len(s) == 4 for s in shards)
+
+    def test_drop_last(self):
+        s = EpochSampler(10, 4, shuffle=False, drop_last=True)
+        assert len(s) == 2
+        batches = list(s)
+        assert all(len(b) == 4 for b in batches)
+
+    def test_infinite_batcher(self, ffpp_root):
+        from unidefense_tpu.data.datasets import FaceForensics
+
+        ds = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin", "Deepfakes"]), "train")
+        sampler = EpochSampler(len(ds), 4, shuffle=True, drop_last=True)
+        b = InfiniteBatcher(ds, sampler, load_kwargs={"crop": "nocrop"})
+        for step in range(1, 12):  # crosses an epoch boundary (5 batches/epoch)
+            out = b.next_batch(step)
+            assert out["images"].shape == (4, 32, 32, 3)
+            assert out["label"].shape == (4,)

@@ -1,0 +1,120 @@
+"""End-to-end ForgeryEngine smoke test on synthetic data: train a few steps,
+validate, checkpoint, resume, test-mode — the full lifecycle with a
+mini-model registered under the model registry (full backbones compile too
+slowly on the 1-core CPU test runner; UD_SLOW covers those)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.helpers import MiniUniDefense
+from tests.test_data import _write_jpg
+
+
+@pytest.fixture
+def synthetic_ffpp(tmp_path):
+    import torch
+
+    root = tmp_path / "ffpp"
+    index = []
+    for vid in range(4):
+        for frame in range(6):
+            rel = f"original_sequences/youtube/c23/images/{vid:03d}/{frame:04d}.jpg"
+            _write_jpg(str(root / rel), seed=vid * 10 + frame, size=40)
+            index.append((rel, 0))
+    for vid in range(4):
+        for frame in range(6):
+            rel = f"manipulated_sequences/Deepfakes/c23/images/{vid:03d}_x/{frame:04d}.jpg"
+            _write_jpg(str(root / rel), seed=500 + vid * 10 + frame, size=40)
+            index.append((rel, 1))
+    os.makedirs(root / "pickle_files", exist_ok=True)
+    for split in ("train", "val", "test"):
+        torch.save(index, root / "pickle_files" / f"{split}_c23.pickle")
+    return str(root)
+
+
+TRANSFORMS = [
+    {"name": "Resize", "params": {"height": 16, "width": 16}},
+    {"name": "HorizontalFlip", "params": {"p": 0.5}},
+    {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+]
+
+
+@pytest.fixture
+def fe_config(tmp_path, synthetic_ffpp, monkeypatch):
+    from unidefense_tpu.models import registry
+
+    monkeypatch.setitem(registry.MODEL, "MINI", MiniUniDefense)
+
+    ds_cfg = {
+        "root": synthetic_ffpp,
+        "name": "FFpp",
+        "use_lmdb": False,
+        "real_method": ["Origin"],
+        "fake_method": ["Deepfakes"],
+        "compression": "c23",
+        "num_steps": 4,
+        "log_steps": 2,
+        "val_steps": 2,
+        "train_transforms": TRANSFORMS,
+        "val_transforms": TRANSFORMS[:1] + TRANSFORMS[2:],
+        "test_transforms": TRANSFORMS[:1] + TRANSFORMS[2:],
+    }
+    ds_path = tmp_path / "data.yml"
+    with open(ds_path, "w") as f:
+        yaml.dump(ds_cfg, f)
+
+    run_root = tmp_path / "work"
+    os.makedirs(run_root)
+    monkeypatch.chdir(run_root)
+
+    return {
+        "model": {"name": "MINI", "num_classes": 2},
+        "config": {
+            "local_rank": 0,
+            "num_devices": 1,
+            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+            "lambda_mask": 0.1, "lambda_fac": 0.1,
+            "optimizer": {"name": "adamw", "lr": 1e-3, "betas": [0.9, 0.999],
+                          "weight_decay": 5e-6, "amsgrad": True},
+            "crop": "nocrop",
+            "warmup_step": 0,
+            "resume": False,
+            "id": "pytest-run",
+            "debug": False,
+            "offline": True,
+        },
+        "data": {"train_batch_size": 2, "val_batch_size": 8, "test_batch_size": 8,
+                 "file": str(ds_path)},
+        "cfg_path": str(ds_path),
+    }
+
+
+def test_forgery_engine_lifecycle(fe_config):
+    import copy
+
+    from unidefense_tpu.engines import get_engine
+
+    engine = get_engine("FE")(copy.deepcopy(fe_config), stage="Train")
+    engine.train()
+
+    run_dir = engine.run_dir
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert engine.ckpt.exists(best=False)
+    assert engine.ckpt.exists(best=True)
+    assert 0.0 <= engine.best_auc <= 1.0
+    assert int(engine.state.step) == 4
+
+    # resume: restart from latest and continue
+    cfg2 = copy.deepcopy(fe_config)
+    cfg2["config"]["resume"] = True
+    engine2 = get_engine("FE")(cfg2, stage="Train")
+    assert engine2.start_step == 5
+
+    # test mode loads best checkpoint and produces metrics
+    cfg3 = copy.deepcopy(fe_config)
+    engine3 = get_engine("FE")(cfg3, stage="Test")
+    metrics = engine3.test()
+    assert "AUC" in metrics and 0.0 <= metrics["AUC"] <= 1.0

@@ -114,41 +114,68 @@ class AbstractDataset:
                 raise ValueError(f"Image path not recognised: {img_path}")
         return out_path.replace(".jpg", f".{postfix}")
 
-    def _read_image(self, img_path: str) -> np.ndarray:
+    def _read_blob(self, img_path: str) -> bytes:
         if self.use_lmdb:
             crop_path = self._convert_to_str(img_path, "crop")
             buf = self._blob.get(crop_path)
             if buf is None:
                 raise KeyError(f"Blob missing for key {crop_path}")
-            img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
-        else:
-            img = cv2.imread(join(self.root, img_path))
+            return buf
+        with open(join(self.root, img_path), "rb") as f:
+            return f.read()
+
+    def _read_image(self, img_path: str) -> np.ndarray:
+        img = cv2.imdecode(np.frombuffer(self._read_blob(img_path), np.uint8),
+                           cv2.IMREAD_COLOR)
         if img is None:
             raise IOError(f"Failed to decode {img_path}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def _crop(self, img, contents, margin, crop):
+    def _box_for(self, contents, margin, crop):
+        """(x1, y1, x2, y2) crop rectangle; (-1,)*4 = full frame. Random margin
+        drawn per item (abstract_dataset.py:129-139)."""
         if crop == "4p":
             x, y, w, h = (int(v) for v in contents[2:6])
             if not isinstance(margin, float):
                 lo, hi = int(margin[0] * 10), int(margin[1] * 10)
                 margin = int(self.rng.integers(lo, hi)) / 10.0
             x1, x2, y1, y2 = self._add_face_margin(x, y, w, h, margin)
-        elif crop == "nocrop":
-            h_, w_ = img.shape[:2]
-            x1, x2, y1, y2 = 0, w_, 0, h_
-        else:
-            raise ValueError(f"Unsupported crop version '{crop}'")
+            return (x1, y1, x2, y2)
+        if crop == "nocrop":
+            return (-1, -1, -1, -1)
+        raise ValueError(f"Unsupported crop version '{crop}'")
+
+    def _crop(self, img, contents, margin, crop):
+        x1, y1, x2, y2 = self._box_for(contents, margin, crop)
+        if x2 <= x1:
+            return img
         h_, w_ = img.shape[:2]
         return img[max(0, y1) : min(h_, y2), max(0, x1) : min(w_, x2)]
 
     def load_item(self, items, labels, margin=None, crop="4p"):
-        images, paths = [], []
+        """Decode + crop + resize a batch on the host. Fast path: one native
+        thread-pooled call for the whole batch (native/udjpeg.cc); fallback:
+        per-image cv2 (used for PNG frames or host-side corruptions)."""
+        from unidefense_tpu.data.native import decode_batch, get_lib
+
+        paths, contents_list = [], []
         for item in items:
             contents = str(item).split(" ")
-            img_path = contents[0]
-            paths.append(img_path)
-            img = self._read_image(img_path)
+            paths.append(contents[0])
+            contents_list.append(contents)
+
+        plain_host = self.host_tf.is_plain_resize
+        if get_lib() is not None and plain_host:
+            blobs = [self._read_blob(p) for p in paths]
+            boxes = np.asarray(
+                [self._box_for(c, margin, crop) for c in contents_list], np.int32
+            )
+            images = decode_batch(blobs, boxes, self.host_tf.height, self.host_tf.width)
+            return {"images": images, "path": paths}
+
+        images = []
+        for contents in contents_list:
+            img = self._read_image(contents[0])
             img = self._crop(img, contents, margin, crop)
             images.append(self.host_tf(img))
         return {"images": np.stack(images, axis=0), "path": paths}
@@ -389,22 +416,47 @@ class UniAttack(AbstractDataset):
         img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
+    def _read_blob_ua(self, img_path: str, crop: str) -> bytes:
+        key = self._convert_to_str(img_path, "crop") if crop == "nocrop" else img_path
+        buf = self._blobs[self._subset_of(img_path)].get(key)
+        if buf is None:
+            raise KeyError(f"Blob missing for key {key}")
+        return buf
+
     def load_item(self, items, labels, margin=None, crop="nocrop", dataset_label_map=None):
-        images, paths, dlabels = [], [], []
+        from unidefense_tpu.data.native import decode_batch, get_lib
+
+        paths, contents_list, dlabels, eff_crops = [], [], [], []
         for item in items:
             contents = str(item).split(" ")
             img_path = contents[0]
             paths.append(img_path)
-            sub_root = self.roots[self._subset_of(img_path)]
+            contents_list.append(contents)
+            sub = self._subset_of(img_path)
             if dataset_label_map is not None:
-                dlabels.append(dataset_label_map[sub_root])
-            img = self._read_image(img_path, crop)
+                dlabels.append(dataset_label_map[self.roots[sub]])
             # FFpp/CDF frames are pre-cropped; always nocrop them
             # (dataset/uniattack.py:226-228)
-            eff_crop = "nocrop" if self._subset_of(img_path) in ("FFpp", "CDF") else crop
-            img = self._crop(img, contents, margin, eff_crop)
-            images.append(self.host_tf(img))
-        out = {"images": np.stack(images, axis=0), "path": paths}
+            eff_crops.append("nocrop" if sub in ("FFpp", "CDF") else crop)
+
+        plain_host = self.host_tf.is_plain_resize
+        if get_lib() is not None and plain_host:
+            blobs = [self._read_blob_ua(p, crop) for p in paths]
+            boxes = np.asarray(
+                [self._box_for(c, margin, ec) for c, ec in zip(contents_list, eff_crops)],
+                np.int32,
+            )
+            images = decode_batch(blobs, boxes, self.host_tf.height, self.host_tf.width)
+        else:
+            imgs = []
+            for contents, ec in zip(contents_list, eff_crops):
+                buf = self._read_blob_ua(contents[0], crop)
+                img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                img = self._crop(img, contents, margin, ec)
+                imgs.append(self.host_tf(img))
+            images = np.stack(imgs, axis=0)
+        out = {"images": images, "path": paths}
         out["dataset_labels"] = np.asarray(dlabels, np.int64) if dlabels else None
         return out
 

@@ -115,17 +115,19 @@ class BatchPrefetcher:
     order. depth=2 double-buffers host IO against device compute.
     """
 
-    def __init__(self, produce: Callable[[int], dict], depth: int = 2, num_steps: int = 0):
+    def __init__(self, produce: Callable[[int], dict], depth: int = 2,
+                 num_steps: int = 0, start_step: int = 1):
         self.produce = produce
         self.depth = depth
         self.num_steps = num_steps
+        self.start_step = start_step
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
 
     def _run(self):
-        for step in range(1, self.num_steps + 1):
+        for step in range(self.start_step, self.num_steps + 1):
             if self._stop.is_set():
                 return
             try:
@@ -139,7 +141,7 @@ class BatchPrefetcher:
         if not self._started:
             self._thread.start()
             self._started = True
-        for _ in range(self.num_steps):
+        for _ in range(self.start_step, self.num_steps + 1):
             item = self._q.get()
             if isinstance(item, Exception):
                 raise item

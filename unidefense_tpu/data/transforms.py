@@ -111,11 +111,49 @@ class HostPipeline:
     width: int = 256
     jpeg_compress: Optional[tuple[int, int]] = None  # (q_lo, q_hi) with prob
     jpeg_p: float = 0.0
+    # RandomResizedCrop (albumentations semantics): area scale range, aspect
+    # ratio range, application prob, cv2 interpolation code
+    rrc_scale: Optional[tuple[float, float]] = None
+    rrc_ratio: tuple = (0.75, 4.0 / 3.0)
+    rrc_p: float = 1.0
+    interpolation: int = cv2.INTER_LINEAR
     rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(2022))
 
+    @property
+    def is_plain_resize(self) -> bool:
+        """True when the stage is a pure resize — eligible for the native
+        batched decode fast path."""
+        return self.jpeg_compress is None and self.rrc_scale is None
+
+    def _random_resized_crop(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target_area = self.rng.uniform(*self.rrc_scale) * area
+            log_ratio = (np.log(self.rrc_ratio[0]), np.log(self.rrc_ratio[1]))
+            aspect = np.exp(self.rng.uniform(*log_ratio))
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                x = int(self.rng.integers(0, w - cw + 1))
+                y = int(self.rng.integers(0, h - ch + 1))
+                return img[y : y + ch, x : x + cw]
+        # fallback: center crop to in-range aspect
+        in_ratio = w / h
+        if in_ratio < self.rrc_ratio[0]:
+            cw, ch = w, int(round(w / self.rrc_ratio[0]))
+        elif in_ratio > self.rrc_ratio[1]:
+            cw, ch = int(round(h * self.rrc_ratio[1])), h
+        else:
+            cw, ch = w, h
+        x, y = (w - cw) // 2, (h - ch) // 2
+        return img[y : y + ch, x : x + cw]
+
     def __call__(self, img: np.ndarray) -> np.ndarray:
+        if self.rrc_scale is not None and self.rng.random() < self.rrc_p:
+            img = self._random_resized_crop(img)
         if img.shape[0] != self.height or img.shape[1] != self.width:
-            img = cv2.resize(img, (self.width, self.height), interpolation=cv2.INTER_LINEAR)
+            img = cv2.resize(img, (self.width, self.height), interpolation=self.interpolation)
         if self.jpeg_compress is not None and self.rng.random() < self.jpeg_p:
             q = int(self.rng.integers(self.jpeg_compress[0], self.jpeg_compress[1] + 1))
             ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
@@ -136,6 +174,13 @@ def build_transforms(cfg_list: list[dict], corrupt_distorted: bool = False):
         if name == "Resize":
             host.height = int(params["height"])
             host.width = int(params["width"])
+        elif name == "RandomResizedCrop":
+            host.height = int(params["height"])
+            host.width = int(params["width"])
+            host.rrc_scale = tuple(params.get("scale", (0.08, 1.0)))
+            host.rrc_ratio = tuple(params.get("ratio", (0.75, 4.0 / 3.0)))
+            host.rrc_p = float(params.get("p", 1.0))
+            host.interpolation = int(params.get("interpolation", cv2.INTER_LINEAR))
         elif name == "HorizontalFlip":
             dev_kwargs["hflip_p"] = float(params.get("p", 0.5))
         elif name == "Normalize":

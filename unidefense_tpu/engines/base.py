@@ -236,27 +236,35 @@ class AbstractEngine:
             lbls = np.concatenate([labels_real, labels_fake], axis=0)
         return {"image": jnp.asarray(imgs), "label": jnp.asarray(lbls)}
 
-    def eval_split(self, batcher_or_loader, loader_len, load_fn, step: int,
-                   desc: str = "val") -> tuple[dict, dict]:
-        """Score a split, grouping frame probabilities by video
-        (engine/forgery_engine.py:336-360). load_fn(i) -> (batch dict, tgt)."""
+    def score_dataset(self, dataset, batch_size: int, load_kwargs: dict, step: int,
+                      desc: str = "val") -> tuple[dict, dict]:
+        """Score a whole split with fixed-shape batches (last batch padded by
+        repetition so the jitted eval step never recompiles), grouping frame
+        probabilities by video (engine/forgery_engine.py:336-360)."""
+        n = len(dataset)
         prob_dict: dict[str, list] = {}
         tgt_dict: dict[str, list] = {}
         eval_rng = jax.random.fold_in(self.base_rng, 777)
-        for i in range(loader_len):
-            out, tgt = load_fn(i)
-            imgs = jnp.asarray(out["images"])
+        num_batches = -(-n // batch_size)
+        for b in range(num_batches):
+            idx = list(range(b * batch_size, min(n, (b + 1) * batch_size)))
+            n_valid = len(idx)
+            while len(idx) < batch_size:
+                idx.append(idx[-1])
+            items = [dataset[i][0] for i in idx]
+            labels = np.asarray([int(dataset[i][1]) for i in idx], np.int64)
+            out = dataset.load_item(items, labels, **load_kwargs)
             probs, _, _ = self.eval_step(
-                self.state.params, self.state.batch_stats, imgs,
-                jax.random.fold_in(eval_rng, i),
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(out["images"]), jax.random.fold_in(eval_rng, b),
             )
-            probs = np.asarray(probs)
-            for p, pr, tg in zip(out["path"], probs, np.asarray(tgt)):
+            probs = np.asarray(probs)[:n_valid]
+            for p, pr, tg in zip(out["path"][:n_valid], probs, labels[:n_valid]):
                 vid = p.rsplit("/", 1)[0]
                 prob_dict.setdefault(vid, []).append(float(pr))
                 tgt_dict.setdefault(vid, []).append(float(tg))
-            if i % 50 == 0:
-                self._mprint(f"Eval {desc} ({i + 1}/{loader_len}), Global Step {step}")
+            if b % 50 == 0:
+                self._mprint(f"Eval {desc} ({b + 1}/{num_batches}), Global Step {step}")
         return prob_dict, tgt_dict
 
     @staticmethod

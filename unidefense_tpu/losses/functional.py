@@ -50,7 +50,7 @@ def _euclidean_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     xx = jnp.sum(x**2, axis=1, keepdims=True)
     yy = jnp.sum(y**2, axis=1, keepdims=True).T
     dist = xx + yy - 2.0 * (x @ y.T)
-    return jnp.sqrt(jnp.clip(dist, a_min=_EPS))
+    return jnp.sqrt(jnp.clip(dist, min=_EPS))
 
 
 def asymmetric_weighted_triplet(

@@ -1,0 +1,173 @@
+"""torch checkpoint -> flax variables conversion.
+
+Loads the reference's pretrained backbone weights into our models:
+* EfficientNet advprop .pth files (lukemelas naming, `_conv_stem`,
+  `_blocks.N._depthwise_conv`, ... — model/efficientnet/utils.py:594-634);
+* torchvision ResNet-18 / timm ResNet-50 state dicts (conv1, layerL.B.convK,
+  downsample.{0,1} — model/resnet/exp.py:523-550).
+
+SFConv-only parameters (freq_conv, sf_coef) are tolerated as missing and keep
+their initialisation, mirroring check_for_sfconv_params
+(model/efficientnet/utils.py:627-634). Layout conversion: torch conv
+(O, I, kh, kw) -> flax (kh, kw, I, O); linear (O, I) -> (I, O); BN weight ->
+scale, running_mean/var -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+_SF_ONLY = ("freq_conv", "sf_coef")
+
+
+def _to_numpy(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _convert_value(path: tuple, torch_val: np.ndarray, target_shape) -> np.ndarray:
+    leaf = path[-1]
+    if leaf == "kernel":
+        if torch_val.ndim == 4:  # conv
+            out = torch_val.transpose(2, 3, 1, 0)
+        elif torch_val.ndim == 2:  # dense
+            out = torch_val.T
+        else:
+            out = torch_val
+    else:
+        out = torch_val
+    if tuple(out.shape) != tuple(target_shape):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                         f"torch {out.shape} vs flax {target_shape}")
+    return np.ascontiguousarray(out, dtype=np.float32)
+
+
+def _efficientnet_torch_key(path: tuple, collection: str) -> Optional[str]:
+    """flax path -> lukemelas torch key. Returns None for keys the torch
+    checkpoint may legitimately lack (SFConv params)."""
+    parts = [p for p in path if p != "Conv_0" and p != "Dense_0"]
+    leaf = parts[-1]
+    mods = parts[:-1]
+
+    out = []
+    for i, m in enumerate(mods):
+        bm = re.fullmatch(r"block(\d+)", m)
+        if bm:
+            out.append(f"_blocks.{bm.group(1)}")
+        elif m in ("conv_stem", "conv_head", "fc"):
+            out.append("_" + m)
+        elif re.fullmatch(r"bn[0-2]", m):
+            out.append("_" + m)
+        elif m in ("expand_conv", "depthwise_conv", "project_conv", "se_reduce", "se_expand"):
+            out.append("_" + m)
+        elif m == "freq_conv":
+            out.append("freq_conv")
+        else:
+            raise KeyError(f"Unmapped EfficientNet module '{m}' in {path}")
+
+    leaf_map = {
+        "kernel": "weight", "scale": "weight", "bias": "bias",
+        "mean": "running_mean", "var": "running_var", "sf_coef": "sf_coef",
+    }
+    return ".".join(out + [leaf_map[leaf]]) if leaf != "sf_coef" else ".".join(out + ["sf_coef"])
+
+
+def _resnet_torch_key(path: tuple, collection: str) -> Optional[str]:
+    """flax path -> timm/torchvision ResNet key. The flax tree may sit under
+    an 'extractor/net' prefix (ExtractorRes18/50) or be the bare ResNet."""
+    parts = [p for p in path if p not in ("Conv_0", "Dense_0", "net")]
+    leaf = parts[-1]
+    mods = parts[:-1]
+    out = []
+    for m in mods:
+        bm = re.fullmatch(r"block(\d+)", m)
+        if bm:
+            out.append(bm.group(1))
+        elif m == "downsample_conv":
+            out.append("downsample.0")
+        elif m == "downsample_bn":
+            out.append("downsample.1")
+        elif m == "freq_conv":
+            out.append("freq_conv")
+        else:
+            out.append(m)  # conv1, bn1, layerL, fc, ...
+    leaf_map = {
+        "kernel": "weight", "scale": "weight", "bias": "bias",
+        "mean": "running_mean", "var": "running_var", "sf_coef": "sf_coef",
+    }
+    return ".".join(out + [leaf_map[leaf]])
+
+
+_KEY_FNS = {"efficientnet": _efficientnet_torch_key, "resnet": _resnet_torch_key}
+
+
+def load_torch_backbone(variables: dict, state_dict: dict, arch: str,
+                        strict: bool = True, verbose: bool = False) -> dict:
+    """Fill `variables` ({'params', 'batch_stats'}) from a torch state_dict.
+
+    Missing SFConv params keep their init (reference tolerance rule); any
+    other missing key raises when strict. Returns new variables.
+    """
+    key_fn = _KEY_FNS[arch]
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    new_vars = {}
+    missing, loaded = [], 0
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        flat = flatten_dict(variables[coll])
+        out = {}
+        for path, val in flat.items():
+            tk = key_fn(path, coll)
+            if tk in sd:
+                out[path] = _convert_value(path, sd[tk], val.shape)
+                loaded += 1
+            else:
+                if not any(s in path for s in _SF_ONLY):
+                    missing.append(tk)
+                out[path] = val
+        new_vars[coll] = unflatten_dict(out)
+    if missing and strict:
+        raise KeyError(f"Missing non-SFConv keys in torch checkpoint: {missing[:10]} "
+                       f"(+{max(0, len(missing) - 10)} more)")
+    if verbose:
+        print(f"Converted {loaded} tensors from torch checkpoint ({arch}); "
+              f"{len(missing)} non-SFConv missing.")
+    return new_vars
+
+
+def load_pretrained_extractor(variables: dict, weights_path: str, model_name: str) -> dict:
+    """Load `extractor_weights` (reference YAML key) into a UniDefense model's
+    backbone subtree. model_name in {'UDEB4','UDR18','UDR50'}."""
+    import torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    name = model_name.upper()
+    if name == "UDEB4":
+        sub, arch = "backbone", "efficientnet"
+        # drop the torch classifier head (include_top=False path,
+        # model/efficientnet/utils.py:612-614)
+        sd = {k: v for k, v in sd.items() if not k.startswith("_fc.")}
+    else:
+        sub, arch = "extractor", "resnet"
+        sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
+
+    sub_vars = {
+        coll: variables[coll][sub] for coll in ("params", "batch_stats") if sub in variables.get(coll, {})
+    }
+    # extractors only instantiate stem + layers 1-3 (module_exp.py:8-59):
+    # torch keys for layer4/fc simply go unused.
+    converted = load_torch_backbone(sub_vars, sd, arch, strict=False)
+    new_vars = {coll: dict(variables[coll]) for coll in variables}
+    for coll in converted:
+        new_vars[coll][sub] = converted[coll]
+    return new_vars

@@ -230,6 +230,7 @@ class EfficientNet(nn.Module):
             dtype=self.dtype, name="bn1",
         )
         if self.include_top:
+            self.top_dropout = nn.Dropout(self._dropout_rate)
             self.fc = Classifier(self.num_classes, dtype=self.dtype)
 
     @property
@@ -262,6 +263,6 @@ class EfficientNet(nn.Module):
         x = self.head_forward(x, train)
         x = global_avg_pool(x)
         if self.include_top:
-            x = nn.Dropout(self._dropout_rate, deterministic=not train)(x)
+            x = self.top_dropout(x, deterministic=not train)
             x = self.fc(x)
         return x

@@ -85,6 +85,7 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     use_running_average: Optional[bool] = None
     frozen_bias: bool = False
+    scale_init: Callable = jax.nn.initializers.ones
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -98,7 +99,7 @@ class BatchNorm(nn.Module):
 
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(feat, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(feat, jnp.float32))
-        scale = self.param("scale", jax.nn.initializers.ones, (feat,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (feat,), jnp.float32)
         if self.frozen_bias:
             bias = jnp.zeros(feat, jnp.float32)
         else:

@@ -74,9 +74,10 @@ class BasicBlock(nn.Module):
             name="conv2",
         )(y)
         # zero_init_last: bn2 scale starts at 0 (model/resnet/exp.py:123-124)
-        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn2")(
-            y, use_running_average=not train
-        )
+        y = BatchNorm(
+            scale_init=jax.nn.initializers.zeros,
+            axis_name=self.axis_name, dtype=self.dtype, name="bn2",
+        )(y, use_running_average=not train)
 
         if self.has_downsample:
             shortcut = Conv(
@@ -161,9 +162,11 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="conv3",
         )(y)
-        y = BatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn3")(
-            y, use_running_average=not train
-        )
+        # zero_init_last (model/resnet/exp.py:202-203)
+        y = BatchNorm(
+            scale_init=jax.nn.initializers.zeros,
+            axis_name=self.axis_name, dtype=self.dtype, name="bn3",
+        )(y, use_running_average=not train)
 
         if self.has_downsample:
             shortcut = Conv(
