@@ -75,13 +75,16 @@ def test_efficientnet_b0_forward_parity(ref_modules, freq_norm):
                         freq_norm=freq_norm)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
-    variables = fnet.init(rngs, jnp.asarray(x), train=False)
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.asarray(x), train=False
+    )
     variables = jax.tree.map(np.asarray, dict(variables))
     variables = load_torch_backbone(variables, tnet.state_dict(), "efficientnet",
                                     strict=True)
 
     with torch.no_grad():
         ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ref = ref.reshape(ref.shape[0], -1)  # torch include_top=False keeps (N,C,1,1)
     ours = _forward_flax_effnet(fnet, variables, jnp.asarray(x))
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=2e-3)
 
@@ -103,7 +106,9 @@ def test_resnet18_forward_parity(ref_modules):
     fnet = ResNet(arch="resnet18", num_classes=1000, freq_norm="ortho")
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(np.float32)
-    variables = fnet.init(rngs, jnp.asarray(x), train=False)
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.asarray(x), train=False
+    )
     variables = jax.tree.map(np.asarray, dict(variables))
     variables = load_torch_backbone(variables, tnet.state_dict(), "resnet", strict=False)
 
@@ -121,3 +126,55 @@ def test_resnet18_forward_parity(ref_modules):
         jax.jit(lambda v, xx: fnet.apply(v, xx, method=feats))(variables, jnp.asarray(x))
     )
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_full_udr18_model_parity(ref_modules):
+    """Flagship golden test: a randomly-initialised reference
+    UniDefenseModelRes18 (full dual-space architecture) converted via the
+    'unidefense' mapping must reproduce cls_out, reconstruction, and the
+    per-sample loss_dict terms in eval mode."""
+    from model.unidefense import UniDefenseModelRes18 as TorchUD  # noqa
+
+    torch.manual_seed(0)
+    tnet = TorchUD(extractor="resnet18", num_classes=2)
+    tnet.eval()
+
+    from unidefense_tpu.models.convert import load_torch_backbone
+    from unidefense_tpu.models.registry import load_model
+
+    fnet = load_model("UDR18")()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    x = np.random.default_rng(2).standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.5
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.asarray(x), train=False
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "unidefense",
+                                    strict=True)
+
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = jax.jit(lambda v, xx: fnet.apply(v, xx, train=False))(
+        variables, jnp.asarray(x)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ours["cls_out"]), ref["cls_out"].numpy(), atol=5e-3, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["rec"]).transpose(0, 3, 1, 2), ref["rec"].numpy(),
+        atol=5e-3, rtol=5e-3,
+    )
+    ld_o, ld_r = ours["loss_dict"], ref["loss_dict"]
+    np.testing.assert_allclose(
+        np.asarray(ld_o["spatial"]), ld_r["spatial"].numpy(), atol=2e-3, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_o["freq"]), ld_r["freq"].numpy(), atol=2e-3, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_o["factorization"]), ld_r["factorization"].numpy(),
+        atol=5e-3, rtol=5e-3,
+    )
+    for a, b in zip(ld_o["triplet"], ld_r["triplet"]):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-3, rtol=2e-3)

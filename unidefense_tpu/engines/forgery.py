@@ -180,6 +180,7 @@ class ForgeryEngine(AbstractEngine):
             self.logger.finish()
 
     def validate(self, step: int, timer: Timer):
+        self.log_recon_figure(self.val_set, {"crop": self.crop}, step, every=10000)
         prob_dict, tgt_dict = self.score_dataset(
             self.val_set, self.val_batch_size, {"crop": self.crop}, step
         )

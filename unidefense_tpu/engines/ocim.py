@@ -152,6 +152,9 @@ class OCIMEngine(AbstractEngine):
             self.logger.finish()
 
     def validate(self, step: int, timer: Timer):
+        self.log_recon_figure(
+            self.val_set, {"margin": self.val_margin, "crop": self.crop}, step, every=1000
+        )
         prob_dict, tgt_dict = self.score_dataset(
             self.val_set, self.val_batch_size,
             {"margin": self.val_margin, "crop": self.crop}, step,

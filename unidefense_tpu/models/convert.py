@@ -34,7 +34,11 @@ def _to_numpy(t) -> np.ndarray:
 def _convert_value(path: tuple, torch_val: np.ndarray, target_shape) -> np.ndarray:
     leaf = path[-1]
     if leaf == "kernel":
-        if torch_val.ndim == 4:  # conv
+        if torch_val.ndim == 4 and "deconv" in path:
+            # torch ConvTranspose2d weight (in, out, kh, kw) -> (kh, kw, in, out);
+            # our ConvTranspose layer applies the spatial flip internally
+            out = torch_val.transpose(2, 3, 0, 1)
+        elif torch_val.ndim == 4:  # conv (out, in, kh, kw) -> (kh, kw, in, out)
             out = torch_val.transpose(2, 3, 1, 0)
         elif torch_val.ndim == 2:  # dense
             out = torch_val.T
@@ -45,7 +49,8 @@ def _convert_value(path: tuple, torch_val: np.ndarray, target_shape) -> np.ndarr
     if tuple(out.shape) != tuple(target_shape):
         raise ValueError(f"shape mismatch at {'/'.join(path)}: "
                          f"torch {out.shape} vs flax {target_shape}")
-    return np.ascontiguousarray(out, dtype=np.float32)
+    # NOT ascontiguousarray: it promotes 0-d scalars (sf_coef/fuse_coef) to (1,)
+    return np.array(out, dtype=np.float32)
 
 
 def _efficientnet_torch_key(path: tuple, collection: str) -> Optional[str]:
@@ -104,7 +109,57 @@ def _resnet_torch_key(path: tuple, collection: str) -> Optional[str]:
     return ".".join(out + [leaf_map[leaf]])
 
 
-_KEY_FNS = {"efficientnet": _efficientnet_torch_key, "resnet": _resnet_torch_key}
+_LEAF_MAP = {
+    "kernel": "weight", "scale": "weight", "bias": "bias",
+    "mean": "running_mean", "var": "running_var", "sf_coef": "sf_coef",
+}
+
+# Sequential index of each decoder stage inside the reference's nn.Sequential
+# decoder blocks (model/unidefense.py:59-102: conv, IN, act, convT, IN, act,
+# conv, IN, act[, conv, tanh]).
+_DEC_IDX = {"conv1": "0", "in1": "1", "deconv": "3", "in2": "4",
+            "conv2": "6", "in3": "7", "conv_out": "9"}
+
+
+def _unidefense_torch_key(path: tuple, collection: str) -> Optional[str]:
+    """flax path -> reference UniDefenseModel* state-dict key
+    (model/unidefense.py naming). Handles all three variants."""
+    parts = [p for p in path if p not in ("Conv_0", "Dense_0")]
+    leaf = parts[-1]
+    mods = list(parts[:-1])
+
+    if mods and mods[0] == "backbone":
+        inner = _efficientnet_torch_key(tuple(parts[1:]), collection)
+        return f"backbone.{inner}"
+    if mods and mods[0] == "extractor":
+        inner = _resnet_torch_key(tuple(parts[1:]), collection)
+        return f"extractor.{inner}"
+    if mods and mods[0].startswith("dec_block"):
+        idx = _DEC_IDX[mods[1]]
+        return f"{mods[0]}.{idx}.{_LEAF_MAP[leaf]}"
+    if mods and mods[0].startswith("emb_block"):
+        rest = []
+        for m in mods[1:]:
+            rest.append({"down_conv": "downsample.0", "down_norm": "downsample.1"}.get(m, m))
+        return ".".join([mods[0]] + rest + [_LEAF_MAP[leaf]])
+    if mods and mods[0] == "bottleneck":
+        return f"bottleneck.{_LEAF_MAP[leaf]}"
+    if mods and mods[0] == "classifier":
+        return f"classifier.fc.{_LEAF_MAP[leaf]}"
+    if mods and mods[0] == "attention":
+        if leaf == "fuse_coef":
+            return "fuse_coef"
+        filt = mods[1]  # freq_filter | spat_filter
+        sub = {"proj": "layer1.0", "proj_norm": "layer1.1", "mask_conv": "layer2.0"}[mods[2]]
+        return f"{filt}.{sub}.{_LEAF_MAP[leaf]}"
+    raise KeyError(f"Unmapped UniDefense module path {path}")
+
+
+_KEY_FNS = {
+    "efficientnet": _efficientnet_torch_key,
+    "resnet": _resnet_torch_key,
+    "unidefense": _unidefense_torch_key,
+}
 
 
 def load_torch_backbone(variables: dict, state_dict: dict, arch: str,
@@ -140,6 +195,19 @@ def load_torch_backbone(variables: dict, state_dict: dict, arch: str,
         print(f"Converted {loaded} tensors from torch checkpoint ({arch}); "
               f"{len(missing)} non-SFConv missing.")
     return new_vars
+
+
+def load_unidefense_checkpoint(variables: dict, ckpt_path: str) -> dict:
+    """Load a FULL reference UniDefense torch checkpoint (the
+    {'step', 'best_*', 'model': state_dict} files written by _save_ckpt,
+    engine/forgery_engine.py:215-223) into a UDEB4/UDR18/UDR50 flax tree —
+    enables running released reference checkpoints for inference/eval."""
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    return load_torch_backbone(variables, sd, "unidefense", strict=False)
 
 
 def load_pretrained_extractor(variables: dict, weights_path: str, model_name: str) -> dict:

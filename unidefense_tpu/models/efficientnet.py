@@ -55,8 +55,15 @@ B0_BLOCKS = [
     (1, 3, 1, 6, 192, 320, 0.25),
 ]
 
+VALID_MODELS = tuple(PARAMS)  # model/efficientnet/model.py:26-33
+
 BN_MOMENTUM = 0.01  # torch convention: 1 - 0.99 (utils.py:524)
 BN_EPS = 1e-3
+
+
+def get_image_size(model_name: str) -> int:
+    """Native input resolution for a variant (model.py:401-413)."""
+    return PARAMS[model_name][2]
 
 
 def round_filters(filters: int, width_coefficient: float, divisor: int = 8) -> int:
@@ -257,10 +264,30 @@ class EfficientNet(nn.Module):
         x = self.bn1(x, use_running_average=not train)
         return nn.silu(x)
 
-    def __call__(self, x, train: bool = False):
+    def extract_features(self, x, train: bool = False):
+        """Stem -> all blocks -> head conv (model.py:295-318)."""
         x = self.stem_forward(x, train)
         x = self.block_range_forward(x, 0, len(self.blocks), train)
+        return self.head_forward(x, train)
+
+    def extract_endpoints(self, x, train: bool = False):
+        """Per-reduction-level intermediate features (model.py:243-293)."""
+        endpoints = {}
+        x = self.stem_forward(x, train)
+        prev = x
+        for idx in range(len(self.blocks)):
+            x = self.block_range_forward(x, idx, idx + 1, train)
+            if prev.shape[1] > x.shape[1]:
+                endpoints[f"reduction_{len(endpoints) + 1}"] = prev
+            elif idx == len(self.blocks) - 1:
+                endpoints[f"reduction_{len(endpoints) + 1}"] = x
+            prev = x
         x = self.head_forward(x, train)
+        endpoints[f"reduction_{len(endpoints) + 1}"] = x
+        return endpoints
+
+    def __call__(self, x, train: bool = False):
+        x = self.extract_features(x, train)
         x = global_avg_pool(x)
         if self.include_top:
             x = self.top_dropout(x, deterministic=not train)

@@ -228,6 +228,99 @@ class SFConv(nn.Module):
         return (1.0 - coef) * spat + coef * freq
 
 
+class ConvTranspose(nn.Module):
+    """Transposed convolution with exact torch ConvTranspose2d semantics:
+    lhs-dilate by `stride`, pad low = k-1-p, pad high = k-1-p+output_padding,
+    VALID conv with the spatially-flipped kernel. Kernel is stored
+    (kh, kw, in, out); the torch->flax converter flips spatial axes of the
+    torch (in, out, kh, kw) weight. The decoder stacks use k=3, s=2, p=1,
+    op=1 (= exact 2x upsampling, model/unidefense.py:63-64)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = torch_default_init
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_feat = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, in_feat, self.features), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel[::-1, ::-1].astype(dtype),
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", jax.nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class CDConv(nn.Module):
+    """Central-difference convolution (Conv2d_cd, model/resnet/exp.py:57-76):
+    out = conv(x, W) - theta * conv(x, sum_kk(W) as 1x1). Defined for API
+    parity; unused by the shipped models, like the reference."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: Padding = 0
+    theta: float = 0.7
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_feat = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_default_init, (k, k, in_feat, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", jax.nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        xk = x.astype(dtype)
+        strides = (self.stride, self.stride)
+
+        def conv(inp, w, padding):
+            dn = jax.lax.conv_dimension_numbers(inp.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                inp, w.astype(dtype), strides, padding, dimension_numbers=dn
+            )
+
+        out_normal = conv(xk, kernel, _pad_arg(self.padding))
+        if bias is not None:
+            out_normal = out_normal + bias.astype(dtype)
+        if abs(self.theta) < 1e-8:
+            return out_normal
+        # 1x1 kernel of per-(in,out) kernel sums; torch adds the bias to both
+        # conv outputs (model/resnet/exp.py:74-76)
+        kernel_diff = jnp.sum(kernel, axis=(0, 1), keepdims=True)
+        out_diff = conv(xk, kernel_diff, "VALID")
+        if bias is not None:
+            out_diff = out_diff + bias.astype(dtype)
+        return out_normal - self.theta * out_diff
+
+
 def conv_or_sfconv(use_sf: bool, **kwargs):
     """SFConv substitution helper mirroring the reference's channel-match gate
     (model/resnet/exp.py:95-98,167-191)."""

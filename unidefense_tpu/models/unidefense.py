@@ -26,7 +26,13 @@ from flax import linen as nn
 
 from unidefense_tpu.models.efficientnet import EfficientNet
 from unidefense_tpu.models.filters import DualSpaceAttention
-from unidefense_tpu.models.layers import BatchNorm, Classifier, Conv, InstanceNorm
+from unidefense_tpu.models.layers import (
+    BatchNorm,
+    Classifier,
+    Conv,
+    ConvTranspose,
+    InstanceNorm,
+)
 from unidefense_tpu.models.resnet import (
     EmbedderRes18Layer1,
     EmbedderRes18Layer2,
@@ -62,9 +68,8 @@ class DecoderBlock(nn.Module):
         x = Conv(f, 3, 1, 1, use_bias=self.use_bias, dtype=self.dtype, name="conv1")(x)
         x = InstanceNorm(affine=self.affine, dtype=self.dtype, name="in1")(x)
         x = act(x)
-        x = nn.ConvTranspose(
-            f, (3, 3), strides=(2, 2), padding="SAME", use_bias=self.use_bias,
-            param_dtype=jnp.float32, dtype=self.dtype, name="deconv",
+        x = ConvTranspose(
+            f, 3, 2, 1, 1, use_bias=self.use_bias, dtype=self.dtype, name="deconv"
         )(x)
         x = InstanceNorm(affine=self.affine, dtype=self.dtype, name="in2")(x)
         x = act(x)

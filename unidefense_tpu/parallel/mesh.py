@@ -72,6 +72,30 @@ def shard_eval_step(eval_step: Callable, mesh: Mesh) -> Callable:
     )
 
 
+def all_gather_objects(*objects):
+    """Gather arbitrary picklable objects from every host process — the
+    TPU-native analogue of dist.all_gather_object
+    (engine/forgery_engine.py:374-375). Pads pickled byte buffers to a common
+    length and rides a device all-gather. Returns a list of per-process
+    object tuples. Single-process: returns [objects]."""
+    if jax.process_count() == 1:
+        return [objects]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(objects), np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([blob.size], np.int64))
+    max_n = int(sizes.max())
+    padded = np.zeros(max_n, np.uint8)
+    padded[: blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(np.asarray(blobs[i][: int(sizes[i])]).tobytes())
+        for i in range(jax.process_count())
+    ]
+
+
 def split_device_batch(images_real, labels_real, images_fake, labels_fake, num_devices: int):
     """Interleave per-device [real ‖ fake] blocks into the global batch layout
     expected by shard_train_step.

@@ -249,6 +249,77 @@ def make_train_step(
     return train_step
 
 
+def make_normal_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    config_cfg: dict,
+    sum_real: int,
+    sum_fake: int,
+    axis_name: Optional[str] = None,
+    preprocess: Optional[Callable] = None,
+) -> Callable:
+    """Single-pass training step (train_normal_model,
+    engine/abstract_engine.py:131-205): one forward/backward/update with
+    CE + triplet + real-only recon losses, plus the aux_cls_loss /
+    aux_spatial / aux_freq hooks for models that emit them. Dead code in the
+    reference's current engines but part of the API surface (SURVEY.md §2.2).
+    """
+    lam_triplet = float(config_cfg.get("lambda_triplet", 1.0))
+    lam_recons = float(config_cfg.get("lambda_recons", 1.0))
+    lam_freq = float(config_cfg.get("lambda_freq", 1.0))
+    lam_aux_cls = float(config_cfg.get("lambda_aux_cls", 1.0))
+
+    def loss_fn(params, batch_stats, x, labels, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"]
+        )
+        ld = out.get("loss_dict", {})
+        losses = _shared_losses(out, labels, sum_real, sum_fake)
+        total = (
+            losses["cls_loss"]
+            + lam_triplet * losses["triplet_loss"]
+            + lam_recons * losses["real_rec_loss"]
+            + lam_freq * losses["real_freq_loss"]
+        )
+        # aux hooks (abstract_engine.py:173-185); aux_spatial/aux_freq are
+        # real-only by contract and enter at 0.1x weight
+        if ld.get("aux_cls_loss") is not None:
+            total = total + lam_aux_cls * ld["aux_cls_loss"]
+        if ld.get("aux_spatial") is not None:
+            total = total + 0.1 * lam_recons * jnp.mean(ld["aux_spatial"])
+        if ld.get("aux_freq") is not None:
+            total = total + 0.1 * lam_freq * jnp.mean(ld["aux_freq"])
+        aux = dict(losses)
+        aux["total_loss"] = total
+        return total, (mutated["batch_stats"], aux, out["cls_out"])
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        x = batch["image"]
+        labels = batch["label"]
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        k1, kpre = jax.random.split(rng)
+        if preprocess is not None:
+            x = preprocess(x, kpre)
+        (_, (stats, aux, cls_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, labels, k1
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=stats, opt_state=opt_state
+        )
+        metrics = aux
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return new_state, metrics, cls_out
+
+    return train_step
+
+
 def make_eval_step(model, preprocess: Optional[Callable] = None) -> Callable:
     """Inference step: P(real) = softmax(cls_out)[:, 0]
     (engine/forgery_engine.py:350). Returns (probs, cls_out, rec)."""

@@ -33,6 +33,45 @@ class AccMeter:
         return self.acc / max(self.nums, 1)
 
 
+class AUCMeter:
+    """Accumulate (score, label) pairs; AUC + ROC-curve dump
+    (utils/misc.py:74-97)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.score = None
+        self.true = None
+
+    def update(self, score, true):
+        score = np.asarray(score).reshape(-1)
+        true = np.asarray(true).reshape(-1)
+        self.score = score if self.score is None else np.concatenate([self.score, score])
+        self.true = true if self.true is None else np.concatenate([self.true, true])
+
+    def mean_auc(self):
+        from sklearn.metrics import roc_auc_score
+
+        return roc_auc_score(self.true, self.score)
+
+    def curve(self, prefix):
+        import pickle
+
+        from scipy.interpolate import interp1d
+        from scipy.optimize import brentq
+        from sklearn.metrics import roc_curve
+
+        fpr, tpr, thresholds = roc_curve(self.true, self.score, pos_label=1)
+        eer = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+        thresh = interp1d(fpr, thresholds)(eer)
+        print(f"# EER: {eer:.4f}(thresh: {float(thresh):.4f})")
+        import os
+
+        with open(os.path.join(prefix, "roc_curve.pickle"), "wb") as f:
+            pickle.dump([fpr, tpr, thresholds], f)
+
+
 class AverageMeter:
     """Running average (utils/misc.py:100-117)."""
 
