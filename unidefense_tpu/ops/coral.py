@@ -13,9 +13,17 @@ import jax.numpy as jnp
 
 
 def _mat_sqrt(x: jnp.ndarray) -> jnp.ndarray:
-    """Symmetric 3x3 matrix square root via SVD (utils/operation.py:15-17)."""
+    """Reference-faithful 'matrix sqrt' (utils/operation.py:15-17).
+
+    Faithfulness quirk: the reference unpacks torch.linalg.svd as (U, D, V)
+    and computes U @ diag(sqrt(D)) @ V.t() — but linalg.svd's third output is
+    Vh, so it actually evaluates U sqrt(D) Vh^T, which is NOT the symmetric
+    matrix square root. Every reference training ran with this behaviour
+    (coral is always on in pass 2 via preserve_color=True), so we replicate
+    it: jnp.linalg.svd also returns (U, D, Vh), hence `@ vt.T`.
+    """
     u, d, vt = jnp.linalg.svd(x)
-    return (u * jnp.sqrt(d)[None, :]) @ vt
+    return (u * jnp.sqrt(d)[None, :]) @ vt.T
 
 
 def _flatten_mean_std(feat: jnp.ndarray):

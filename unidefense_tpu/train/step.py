@@ -116,6 +116,7 @@ def make_train_step(
     freq_norm: str = "ortho",
     axis_name: Optional[str] = None,
     preprocess: Optional[Callable] = None,
+    fold_axis_rng: bool = True,
 ) -> Callable:
     """Build the two-pass step. config_cfg supplies the lambda loss weights
     (config_template/forgery/model_udeb4.yml:12-16; default 1.0 like the
@@ -203,7 +204,10 @@ def make_train_step(
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         x = batch["image"]
         labels = batch["label"]
-        if axis_name is not None:
+        if axis_name is not None and fold_axis_rng:
+            # per-device noise streams (dropout/perturbation), like per-rank
+            # torch RNG under DDP; fold_axis_rng=False shares one stream
+            # across devices (used by the exactness tests)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         k1, k2, kp, kpre = jax.random.split(rng, 4)
         if preprocess is not None:
