@@ -100,6 +100,9 @@ class UniAttackEngine(AbstractEngine):
         self.val_fake_set = UniAttack(options, "val", options["val_fake_method"])
         self.test_set = UniAttack(options, "test", options["test_method"])
         self.test_batch_size = data_cfg.get("test_batch_size", 96)
+        # test mode scores the val splits with the test batch size
+        # (engine/uniattack_engine.py:205-211)
+        self.val_batch_size = self.test_batch_size
         self.margin = config_cfg.get("margin")
         self.crop = config_cfg.get("crop", "nocrop")
         self.run_id = config_cfg["id"]
