@@ -7,6 +7,7 @@ Layout is NHWC throughout (TPU-native); channel axis is last.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
@@ -15,6 +16,12 @@ from flax import linen as nn
 
 from unidefense_tpu.ops.fft import irfft2_packed, spectrum_channels
 from unidefense_tpu.ops.resize import adaptive_avg_pool
+from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+# SFConv frequency-branch evaluation: 'spatial' uses the exact FFT-free
+# closed form (ops/sfconv_spatial.py); 'spectral' keeps the literal
+# rfft2 -> 1x1 -> irfft2 pipeline. Both are numerically equivalent.
+_SFCONV_MODE = os.environ.get("UD_SFCONV_MODE", "spatial")
 
 # torch Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
 torch_default_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -169,6 +176,21 @@ class Classifier(nn.Module):
         )(x)
 
 
+class _FreqKernel(nn.Module):
+    """Bare (1, 1, 2C_in, 2C_out) parameter holder so both SFConv evaluation
+    modes share the exact param path/shape of the original 1x1 nn.Conv
+    ('freq_conv/kernel')."""
+
+    in2: int
+    out2: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", torch_default_init, (1, 1, self.in2, self.out2), jnp.float32
+        )
+
+
 class SFConv(nn.Module):
     """Spatial-Frequency convolution.
 
@@ -197,6 +219,7 @@ class SFConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
+        in_feat = x.shape[-1]
         spat = Conv(
             self.features,
             self.kernel_size,
@@ -208,17 +231,20 @@ class SFConv(nn.Module):
             dtype=self.dtype,
         )(x)
 
-        spec = spectrum_channels(x, norm=self.freq_norm)  # (N, H, Wf, 2C) f32
-        spec = nn.Conv(
-            2 * self.features,
-            (1, 1),
-            use_bias=False,
-            kernel_init=torch_default_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="freq_conv",
-        )(spec.astype(self.dtype or x.dtype))
-        freq = irfft2_packed(spec, s=(h, w), norm=self.freq_norm)
+        # the 1x1 frequency-domain channel mix; same param path/shape as the
+        # nn.Conv it replaces so checkpoints are interchangeable
+        freq_kernel = _FreqKernel(2 * in_feat, 2 * self.features, name="freq_conv")()
+        if _SFCONV_MODE == "spatial":
+            # exact FFT-free closed form (see ops/sfconv_spatial.py)
+            freq = sfconv_freq_spatial(
+                x.astype(self.dtype or x.dtype), freq_kernel[0, 0].astype(self.dtype or x.dtype)
+            ).astype(jnp.float32)
+        else:
+            spec = spectrum_channels(x, norm=self.freq_norm)  # (N, H, Wf, 2C)
+            spec = spec.astype(self.dtype or x.dtype) @ freq_kernel[0, 0].astype(
+                self.dtype or x.dtype
+            )
+            freq = irfft2_packed(spec, s=(h, w), norm=self.freq_norm)
         if freq.shape[1:3] != spat.shape[1:3]:
             freq = adaptive_avg_pool(freq, spat.shape[1], spat.shape[2])
         freq = freq.astype(spat.dtype)
