@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Reference implementation throughput for the same workload (EfficientNet-b4
 # dual-space two-pass train step @256², batch 10+10). The reference repo
@@ -32,7 +33,7 @@ def main():
     batch_real = batch_fake = 10
     n = batch_real + batch_fake
     size = 256
-    steps = 60
+    steps = 20  # per timing window; ~170 ms/step sustained on the v5e tunnel
 
     from unidefense_tpu.data.transforms import DevicePipeline
 
@@ -69,17 +70,18 @@ def main():
     )
     batch = {"image": x_u8, "label": labels}
 
-    windows = 5
+    windows = 3
     rngs = list(jax.random.split(rng, windows * steps + 10))
     jax.block_until_ready(rngs)
 
-    # compile + 10-step warmup
+    # compile + 10-step warmup (absorbs the donation-variant recompile)
     for i in range(10):
         state, metrics, _ = step_fn(state, batch, rngs[i])
-    jax.block_until_ready(metrics)
+    assert bool(jnp.isfinite(float(metrics["total_loss"])))
 
-    # several timing windows; report the best one (the device link is shared
-    # and individual windows see up to ~40% interference noise)
+    # several timing windows, best-of; each window ENDS with a forced value
+    # fetch — block_until_ready alone returns before execution completes on
+    # some remote-device runtimes and then reports dispatch rate, not compute
     best_dt = float("inf")
     k = 10
     for _ in range(windows):
@@ -87,10 +89,10 @@ def main():
         for _ in range(steps):
             state, metrics, _ = step_fn(state, batch, rngs[k])
             k += 1
-        jax.block_until_ready(metrics)
+        loss = float(metrics["total_loss"])
         best_dt = min(best_dt, time.time() - t0)
     dt = best_dt
-    assert bool(jnp.isfinite(metrics["total_loss"])), "non-finite loss in bench"
+    assert np.isfinite(loss), "non-finite loss in bench"
 
     ips = n * steps / dt
     vs = ips / H100_BASELINE_IMG_PER_SEC if H100_BASELINE_IMG_PER_SEC else None

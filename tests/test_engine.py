@@ -92,6 +92,23 @@ def fe_config(tmp_path, synthetic_ffpp, monkeypatch):
     }
 
 
+def test_forgery_engine_multi_device(fe_config):
+    """FE engine on a 2-device mesh: shard_map training path, per-device
+    real-first batch layout, synced BN — end to end."""
+    import copy
+
+    from unidefense_tpu.engines import get_engine
+
+    cfg = copy.deepcopy(fe_config)
+    cfg["config"]["num_devices"] = 2
+    cfg["config"]["id"] = "pytest-run-2dev"
+    engine = get_engine("FE")(cfg, stage="Train")
+    assert engine.multi_device and engine.n_dev == 2
+    engine.train()
+    assert int(engine.state.step) == 4
+    assert engine.ckpt.exists(best=True)
+
+
 def test_forgery_engine_lifecycle(fe_config):
     import copy
 

@@ -1,0 +1,43 @@
+"""Predictor serving API on the mini model."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import MiniUniDefense
+
+
+@pytest.fixture
+def predictor(monkeypatch):
+    import jax.numpy as jnp
+
+    from unidefense_tpu.models import registry
+
+    monkeypatch.setitem(registry.MODEL, "MINI", MiniUniDefense)
+    from unidefense_tpu.inference import Predictor
+
+    return Predictor("MINI", {"num_classes": 2}, input_size=16, batch_size=4,
+                     dtype=jnp.float32)
+
+
+def test_predict_frames(predictor):
+    rng = np.random.default_rng(0)
+    frames = (rng.random((10, 16, 16, 3)) * 255).astype(np.uint8)
+    probs = predictor.predict_frames(frames)
+    assert probs.shape == (10,)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_predict_resizes(predictor):
+    rng = np.random.default_rng(1)
+    frames = (rng.random((3, 40, 30, 3)) * 255).astype(np.uint8)
+    probs = predictor.predict_frames(frames)
+    assert probs.shape == (3,)
+
+
+def test_predict_video_and_classify(predictor):
+    rng = np.random.default_rng(2)
+    frames = (rng.random((6, 16, 16, 3)) * 255).astype(np.uint8)
+    v = predictor.predict_video(frames)
+    assert 0.0 <= v <= 1.0
+    cls = predictor.classify(frames)
+    assert set(np.unique(cls)).issubset({0, 1})

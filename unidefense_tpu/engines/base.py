@@ -284,6 +284,8 @@ class AbstractEngine:
         """Score a whole split with fixed-shape batches (last batch padded by
         repetition so the jitted eval step never recompiles), grouping frame
         probabilities by video (engine/forgery_engine.py:336-360)."""
+        if self.multi_device and batch_size % self.n_dev != 0:
+            batch_size = -(-batch_size // self.n_dev) * self.n_dev  # round up
         n = len(dataset)
         prob_dict: dict[str, list] = {}
         tgt_dict: dict[str, list] = {}

@@ -99,6 +99,18 @@ class OCIMEngine(AbstractEngine):
             f"AUC {meta.get('best_auc', -1):.4f}, HTER {meta.get('best_hter', -1):.4f}"
         )
 
+    def _interleave_domains(self, arrs):
+        """Each domain stream contributes bs rows to EVERY device's local
+        batch (the reference gives each DDP rank all source domains,
+        engine/ocim_engine.py:229-255): split each per-domain array into
+        per-device chunks and regroup device-major."""
+        if self.n_dev == 1:
+            return np.concatenate(arrs, 0)
+        chunks = [np.split(a, self.n_dev) for a in arrs]
+        return np.concatenate(
+            [c for d in range(self.n_dev) for dom in chunks for c in (dom[d],)], 0
+        )
+
     def _produce_batch(self, cur_step: int):
         """Pull one batch per domain stream; concat real streams then fake
         streams (engine/ocim_engine.py:229-255)."""
@@ -112,8 +124,8 @@ class OCIMEngine(AbstractEngine):
                 fake_imgs.append(out["images"])
                 fake_lbls.append(out["label"])
         return self.assemble_batch(
-            np.concatenate(real_imgs, 0), np.concatenate(real_lbls, 0),
-            np.concatenate(fake_imgs, 0), np.concatenate(fake_lbls, 0),
+            self._interleave_domains(real_imgs), self._interleave_domains(real_lbls),
+            self._interleave_domains(fake_imgs), self._interleave_domains(fake_lbls),
         )
 
     def train(self):

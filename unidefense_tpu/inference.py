@@ -1,0 +1,122 @@
+"""Inference / serving API.
+
+The reference's only inference surface is `main.py --test` (batch scoring a
+dataset). For production serving this module adds a standalone `Predictor`:
+load weights once (orbax run checkpoints, exported param trees, or reference
+torch .bin checkpoints via the converter), then score uint8 RGB frames with a
+single jitted call — fused preprocessing included — plus helpers for video
+aggregation and threshold calibration.
+
+Example:
+    pred = Predictor.from_run("runs/UDEB4/exp1", model_name="UDEB4")
+    probs = pred.predict_frames(frames_u8)           # (N,) P(real)
+    video = pred.predict_video(frames_u8)            # scalar P(real)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidefense_tpu.data.transforms import DevicePipeline
+from unidefense_tpu.models.registry import build_model
+from unidefense_tpu.train.step import make_eval_step
+
+
+class Predictor:
+    def __init__(self, model_name: str, model_cfg: Optional[dict] = None,
+                 variables: Optional[dict] = None, input_size: int = 256,
+                 batch_size: int = 32, dtype=jnp.bfloat16,
+                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+        self.model_name = model_name
+        self.model_cfg = dict(model_cfg or {})
+        self.input_size = input_size
+        self.batch_size = batch_size
+        self.model = build_model(model_name, self.model_cfg, dtype=dtype)
+        self.device_tf = DevicePipeline(mean=mean, std=std, hflip_p=0.0)
+
+        rng = jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        if variables is None:
+            variables = jax.jit(self.model.init, static_argnames=("train",))(
+                {"params": rng, "dropout": rng}, sample, train=False
+            )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self._eval = jax.jit(make_eval_step(self.model, preprocess=self.device_tf))
+
+    # ----------------------------------------------------------- constructors
+
+    @classmethod
+    def from_run(cls, run_dir: str, model_name: str, model_cfg: Optional[dict] = None,
+                 best: bool = True, **kw) -> "Predictor":
+        """Load a training run's orbax checkpoint (best by default)."""
+        from unidefense_tpu.checkpoint import CheckpointManager
+        from unidefense_tpu.train.optim import build_optimizer
+        from unidefense_tpu.train.step import create_train_state
+
+        pred = cls(model_name, model_cfg, **kw)
+        dummy_cfg = {"optimizer": {"name": "sgd", "lr": 0.0}}
+        tx, _ = build_optimizer(dummy_cfg, pred.params)
+        state = create_train_state(
+            pred.model, tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, pred.input_size, pred.input_size, 3), jnp.float32),
+        )
+        state, _ = CheckpointManager(run_dir).restore(state, best=best)
+        pred.params = state.params
+        pred.batch_stats = state.batch_stats
+        return pred
+
+    @classmethod
+    def from_torch_checkpoint(cls, ckpt_path: str, model_name: str,
+                              model_cfg: Optional[dict] = None, **kw) -> "Predictor":
+        """Load a reference torch checkpoint ({'model': state_dict} .bin) —
+        released reference weights run directly."""
+        from unidefense_tpu.models.convert import load_unidefense_checkpoint
+
+        pred = cls(model_name, model_cfg, **kw)
+        variables = load_unidefense_checkpoint(
+            {"params": jax.device_get(pred.params),
+             "batch_stats": jax.device_get(pred.batch_stats)},
+            ckpt_path,
+        )
+        pred.params = variables["params"]
+        pred.batch_stats = variables["batch_stats"]
+        return pred
+
+    # ----------------------------------------------------------------- scoring
+
+    def predict_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) uint8 RGB -> (N,) P(real). Frames are batched into
+        fixed-size jitted calls (last batch padded by repetition)."""
+        import cv2
+
+        n = frames_u8.shape[0]
+        if frames_u8.shape[1] != self.input_size or frames_u8.shape[2] != self.input_size:
+            frames_u8 = np.stack(
+                [cv2.resize(f, (self.input_size, self.input_size)) for f in frames_u8]
+            )
+        probs = np.empty(n, np.float32)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = list(range(start, min(n, start + bs)))
+            n_valid = len(idx)
+            while len(idx) < bs:
+                idx.append(idx[-1])
+            p, _, _ = self._eval(
+                self.params, self.batch_stats, jnp.asarray(frames_u8[idx]), None
+            )
+            probs[start : start + n_valid] = np.asarray(p)[:n_valid]
+        return probs
+
+    def predict_video(self, frames_u8: np.ndarray) -> float:
+        """Mean frame probability — the reference's video-level rule
+        (engine/abstract_engine.py:412)."""
+        return float(self.predict_frames(frames_u8).mean())
+
+    def classify(self, frames_u8: np.ndarray, threshold: float = 0.5) -> np.ndarray:
+        """0 = real, 1 = attack, at the given P(real) threshold."""
+        return (self.predict_frames(frames_u8) <= threshold).astype(np.int64)

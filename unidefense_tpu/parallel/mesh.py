@@ -68,7 +68,7 @@ def shard_eval_step(eval_step: Callable, mesh: Mesh) -> Callable:
     replicated = NamedSharding(mesh, P())
     return jax.jit(
         eval_step,
-        in_shardings=(replicated, replicated, batch_sharding),
+        in_shardings=(replicated, replicated, batch_sharding, replicated),
     )
 
 
