@@ -49,21 +49,31 @@ def spatial_style_transfer(
     """Sorted-value (histogram-matching) mix with a straight-through term.
 
     Parity target: model/modules.py:58-76 — the style values, sorted, are
-    scattered into the content's rank order; the blend keeps gradients flowing
+    placed into the content's rank order; the blend keeps gradients flowing
     through `content` only (stop_gradient on the subtracted copy).
+
+    TPU note: the reference computes the rank permutation as
+    argsort(argsort(content)) + gather — three bitonic sorts. We get the
+    identical result with ONE multi-operand sort (keys=content,
+    payload=iota) + one sort of the style values + one scatter
+    (matched[idx[j]] = sorted_style[j]), since the element at sorted position
+    j lands back at its original location idx[j]. Sorts dominate this op's
+    cost on TPU, so dropping one of three is a ~1/3 saving.
     """
     n, h, w, c = content.shape
     lmda = _sample_lmda(rng, n, content.dtype)[:, None, None]
+    hw = h * w
 
-    # Work per (sample, channel) over flattened spatial values. The reference
-    # uses NCHW (B, C, HW); we transpose NHWC accordingly and restore at the end.
-    cf = content.transpose(0, 3, 1, 2).reshape(n, c, h * w)
-    sf = style.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+    cf = content.transpose(0, 3, 1, 2).reshape(n, c, hw)
+    sf = style.transpose(0, 3, 1, 2).reshape(n, c, hw)
 
-    index_content = jnp.argsort(cf, axis=-1)
+    iota = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32), cf.shape)
+    _, idx = jax.lax.sort((cf, iota), dimension=2, num_keys=1)
     value_style = jnp.sort(sf, axis=-1)
-    inverse_index = jnp.argsort(index_content, axis=-1)
-    matched = jnp.take_along_axis(value_style, inverse_index, axis=-1)
+    matched = jnp.zeros_like(cf)
+    batch_i = jnp.arange(n)[:, None, None]
+    chan_i = jnp.arange(c)[None, :, None]
+    matched = matched.at[batch_i, chan_i, idx].set(value_style)
 
     transferred = cf + (1.0 - lmda) * matched - (1.0 - lmda) * jax.lax.stop_gradient(cf)
     return transferred.reshape(n, c, h, w).transpose(0, 2, 3, 1)

@@ -227,8 +227,14 @@ def make_train_step(
         params1 = optax.apply_updates(state.params, updates1)
 
         # ---- pass 2 (perturbed) ----
-        noise_x = perturb_input(
-            kp, x, sum_real, sum_fake, preserve_color=preserve_color, freq_norm=freq_norm
+        # pure data augmentation: no parameters involved, so cut it out of
+        # the AD graph entirely (the reference computes it under no_grad /
+        # on parameter-free ops, model/unidefense.py:177-198)
+        noise_x = jax.lax.stop_gradient(
+            perturb_input(
+                kp, x, sum_real, sum_fake, preserve_color=preserve_color,
+                freq_norm=freq_norm,
+            )
         )
         use_kl = cur_step > kl_switch_step
         grad_fn2 = jax.value_and_grad(pass2_loss, has_aux=True)
