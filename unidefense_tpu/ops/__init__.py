@@ -17,6 +17,8 @@ from unidefense_tpu.ops.resize import (
 from unidefense_tpu.ops.style import frequency_style_transfer, spatial_style_transfer
 from unidefense_tpu.ops.perturb import random_noise, gaussian_blur, downscale
 from unidefense_tpu.ops.coral import coral
+from unidefense_tpu.ops.eig3 import sym_eig3x3
+from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
 
 __all__ = [
     "rfft2",
@@ -37,4 +39,6 @@ __all__ = [
     "gaussian_blur",
     "downscale",
     "coral",
+    "sym_eig3x3",
+    "sfconv_freq_spatial",
 ]
