@@ -176,7 +176,8 @@ class AbstractEngine:
     def _build_model(self):
         axis_name = DATA_AXIS if self.multi_device else None
         self.model = build_model(
-            self.model_name, self.model_cfg, axis_name=axis_name, dtype=self.compute_dtype
+            self.model_name, self.model_cfg, axis_name=axis_name,
+            dtype=self.compute_dtype, remat=bool(self.config_cfg.get("remat", False)),
         )
         return self.model
 

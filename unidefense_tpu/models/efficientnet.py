@@ -208,6 +208,7 @@ class EfficientNet(nn.Module):
     drop_connect_rate: float = 0.2
     freq_norm: Optional[str] = "ortho"
     include_top: bool = False
+    remat: bool = False  # rematerialize each block (memory <-> FLOPs)
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -225,8 +226,11 @@ class EfficientNet(nn.Module):
             momentum=BN_MOMENTUM, epsilon=BN_EPS, axis_name=self.axis_name,
             dtype=self.dtype, name="bn0",
         )
+        block_cls = (
+            nn.remat(MBConvBlock, static_argnums=(2, 3)) if self.remat else MBConvBlock
+        )
         self.blocks = [
-            MBConvBlock(spec=s, axis_name=self.axis_name, dtype=self.dtype, name=f"block{i}")
+            block_cls(spec=s, axis_name=self.axis_name, dtype=self.dtype, name=f"block{i}")
             for i, s in enumerate(self.specs)
         ]
         self.conv_head = Conv(
@@ -256,7 +260,7 @@ class EfficientNet(nn.Module):
             rate = self.drop_connect_rate
             if rate:
                 rate *= float(idx) / len(self.blocks)
-            x = self.blocks[idx](x, train, drop_connect_rate=rate)
+            x = self.blocks[idx](x, train, rate)  # positional: remat static args
         return x
 
     def head_forward(self, x, train: bool):

@@ -22,7 +22,7 @@ def load_model(name: str = "UDE"):
     return MODEL[name_upper]
 
 
-def build_model(name: str, model_cfg: dict, axis_name=None, dtype=None):
+def build_model(name: str, model_cfg: dict, axis_name=None, dtype=None, remat=False):
     """Construct a model from reference-style YAML `model:` kwargs
     (config_template/forgery/model_udeb4.yml:1-6). Unknown torch-specific
     keys (extractor_weights handled by the engine, not here) are filtered."""
@@ -33,4 +33,6 @@ def build_model(name: str, model_cfg: dict, axis_name=None, dtype=None):
             kwargs[key] = model_cfg[key]
     if "bias" in model_cfg:
         kwargs["use_bias"] = model_cfg["bias"]
+    if remat and "remat" in getattr(cls, "__dataclass_fields__", {}):
+        kwargs["remat"] = True
     return cls(axis_name=axis_name, dtype=dtype, **kwargs)

@@ -201,16 +201,20 @@ class ResNetStage(nn.Module):
     num_blocks: int
     stride: int
     freq_norm: Optional[str]
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         expansion = getattr(self.block_cls, "expansion", 1)
+        block_cls = (
+            nn.remat(self.block_cls, static_argnums=(2,)) if self.remat else self.block_cls
+        )
         for i in range(self.num_blocks):
             stride = self.stride if i == 0 else 1
             has_down = i == 0 and (stride != 1 or x.shape[-1] != self.planes * expansion)
-            x = self.block_cls(
+            x = block_cls(
                 planes=self.planes,
                 stride=stride,
                 has_downsample=has_down,
@@ -229,6 +233,7 @@ class ResNet(nn.Module):
     arch: str = "resnet18"
     num_classes: int = 1000
     freq_norm: Optional[str] = None
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -246,6 +251,7 @@ class ResNet(nn.Module):
                 num_blocks=layers[i],
                 stride=1 if i == 0 else 2,
                 freq_norm=self.freq_norm if i > 0 else None,  # stages 2-4 only
+                remat=self.remat,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"layer{i + 1}",
@@ -274,6 +280,7 @@ class ExtractorRes18(nn.Module):
     Output channels: 64 + 128 + 256 = 448."""
 
     freq_norm: Optional[str] = "ortho"
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -282,6 +289,7 @@ class ExtractorRes18(nn.Module):
         net = ResNet(
             arch="resnet18",
             freq_norm=self.freq_norm,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="net",
@@ -301,6 +309,7 @@ class ExtractorRes50(nn.Module):
     (module_exp.py:35-59)."""
 
     freq_norm: Optional[str] = "ortho"
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -309,6 +318,7 @@ class ExtractorRes50(nn.Module):
         net = ResNet(
             arch="resnet50",
             freq_norm=self.freq_norm,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="net",

@@ -115,6 +115,7 @@ class UniDefenseModelEb4(nn.Module):
     affine: bool = True
     delimiter: Optional[Sequence[int]] = None
     freq_norm: str = "ortho"
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
@@ -125,6 +126,7 @@ class UniDefenseModelEb4(nn.Module):
             dropout_rate=self.drop_rate,
             include_top=False,
             freq_norm=self.freq_norm,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="backbone",
@@ -210,12 +212,14 @@ class UniDefenseModelRes18(nn.Module):
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
     def setup(self):
         self.extractor_mod = ExtractorRes18(
-            freq_norm=self.freq_norm, axis_name=self.axis_name, dtype=self.dtype,
+            freq_norm=self.freq_norm, remat=self.remat,
+            axis_name=self.axis_name, dtype=self.dtype,
             name="extractor",
         )
         self.emb_block1 = EmbedderRes18Layer1(
@@ -286,12 +290,14 @@ class UniDefenseModelRes50(nn.Module):
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
 
     def setup(self):
         self.extractor_mod = ExtractorRes50(
-            freq_norm=self.freq_norm, axis_name=self.axis_name, dtype=self.dtype,
+            freq_norm=self.freq_norm, remat=self.remat,
+            axis_name=self.axis_name, dtype=self.dtype,
             name="extractor",
         )
         self.emb_block1 = EmbedderRes50Layer1(
