@@ -16,6 +16,7 @@ import pytest
 import torch
 
 REF = "/root/reference"
+SLOW = os.environ.get("UD_SLOW", "") == "1"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
 
 
@@ -178,3 +179,61 @@ def test_full_udr18_model_parity(ref_modules):
     )
     for a, b in zip(ld_o["triplet"], ld_r["triplet"]):
         np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.skipif(not SLOW, reason="set UD_SLOW=1 for the flagship golden test")
+def test_full_udeb4_model_parity(ref_modules):
+    """Flagship UDEB4 golden test (slow: two full b4 forwards on CPU):
+    converted reference model reproduces cls_out / rec / per-sample losses."""
+    from model.unidefense import UniDefenseModelEb4 as TorchUD  # noqa
+
+    torch.manual_seed(0)
+    # from_name path (no pretrained download); image_size matches the input
+    tnet = TorchUD.__new__(TorchUD)
+    # construct via the public ctor but intercept from_pretrained: build the
+    # torch model with from_name through a tiny shim
+    import model.efficientnet.model as tm  # noqa
+
+    # image_size=96: the reference computes STATIC SAME padding from the
+    # configured image size; pin it to the test input so padding matches the
+    # actual spatial trajectory (as it does in real 380^2 training)
+    orig = tm.EfficientNet.from_pretrained
+    tm.EfficientNet.from_pretrained = classmethod(
+        lambda cls, name, weights_path=None, advprop=False, in_channels=3,
+        num_classes=1000, **kw: cls.from_name(name, num_classes=num_classes,
+                                              image_size=96, **kw)
+    )
+    try:
+        tnet = TorchUD(extractor="efficientnet-b4", num_classes=2)
+    finally:
+        tm.EfficientNet.from_pretrained = orig
+    tnet.eval()
+
+    from unidefense_tpu.models.convert import load_torch_backbone
+    from unidefense_tpu.models.registry import load_model
+
+    fnet = load_model("UDEB4")()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    x = np.random.default_rng(5).standard_normal((1, 96, 96, 3)).astype(np.float32) * 0.5
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.asarray(x), train=False
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "unidefense",
+                                    strict=True)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = jax.jit(lambda v, xx: fnet.apply(v, xx, train=False))(
+        variables, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["cls_out"]), ref["cls_out"].numpy(), atol=1e-2, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["loss_dict"]["spatial"]), ref["loss_dict"]["spatial"].numpy(),
+        atol=5e-3, rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["loss_dict"]["freq"]), ref["loss_dict"]["freq"].numpy(),
+        atol=5e-3, rtol=5e-3,
+    )
