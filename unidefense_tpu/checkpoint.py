@@ -42,6 +42,12 @@ class CheckpointManager:
             import shutil
 
             shutil.rmtree(tmp)
+        # lr_scale is an optional scalar leaf (plateau LR multiplier): carry
+        # it in the JSON sidecar so the orbax tree structure is stable
+        # whether or not a plateau scheduler is configured
+        if state.lr_scale is not None:
+            meta = dict(meta, lr_scale=float(state.lr_scale))
+            state = state.replace(lr_scale=None)
         self._ckptr.save(tmp, jax.device_get(state))
         self._ckptr.wait_until_finished()
         with open(tmp + ".meta.json", "w") as f:
@@ -62,13 +68,20 @@ class CheckpointManager:
         """Restore into the abstract structure of `target_state`."""
         path = self._path(best)
         restored = self._ckptr.restore(
-            path, jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+            path,
+            jax.tree.map(
+                ocp.utils.to_shape_dtype_struct, target_state.replace(lr_scale=None)
+            ),
         )
         meta = {}
         meta_path = path + ".meta.json"
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+        if meta.get("lr_scale") is not None:
+            import jax.numpy as jnp
+
+            restored = restored.replace(lr_scale=jnp.asarray(meta["lr_scale"], jnp.float32))
         return restored, meta
 
 

@@ -194,8 +194,17 @@ class AbstractEngine:
             )
         )
         self.tx, self.lr_schedule = build_optimizer(self.config_cfg, params_shapes["params"])
+        from unidefense_tpu.train.optim import build_plateau
+
+        # metric-fed LR decay (scheduler name ReduceLROnPlateau); engines feed
+        # their best-model selection metric each validation
+        self.plateau = build_plateau(self.config_cfg)
         sample_x = jnp.zeros(sample_shape, jnp.float32)
         self.state = create_train_state(model, self.tx, self.base_rng, sample_x)
+        if self.plateau is not None:
+            # lr_scale goes live at step 1 so the first validation's update
+            # does not change the step's pytree structure (no recompile)
+            self.state = self.state.replace(lr_scale=jnp.float32(self.plateau.scale))
 
         # pretrained backbone weights (reference 'extractor_weights' key,
         # config_template/forgery/model_udeb4.yml:6): torch .pth -> flax
@@ -251,18 +260,40 @@ class AbstractEngine:
         self.best_hter = meta.get("best_hter", self.best_hter)
         self.best_step = meta.get("best_step", self.best_step)
         self.start_step = int(meta.get("step", 0)) + 1
+        if getattr(self, "plateau", None) is not None and "plateau" in meta:
+            p = self.plateau
+            saved = meta["plateau"]
+            p.lr = float(saved.get("lr", p.lr))
+            p.best = float(saved.get("best", p.best))
+            p.num_bad_epochs = int(saved.get("num_bad_epochs", 0))
+            p.cooldown_counter = int(saved.get("cooldown_counter", 0))
         self._mprint(f"Resumed from step {self.start_step - 1} (best={best}).")
 
     # ---------------------------------------------------------------- helpers
 
     def _meta(self, step: int) -> dict:
-        return {
+        meta = {
             "step": step,
             "best_step": self.best_step,
             "best_auc": self.best_auc,
             "best_acc": self.best_acc,
             "best_hter": self.best_hter,
         }
+        if getattr(self, "plateau", None) is not None:
+            p = self.plateau
+            meta["plateau"] = {
+                "lr": p.lr, "best": p.best, "num_bad_epochs": p.num_bad_epochs,
+                "cooldown_counter": p.cooldown_counter,
+            }
+        return meta
+
+    def _plateau_step(self, metric: float):
+        """Feed the validation metric to ReduceLROnPlateau (if configured) and
+        inject the resulting LR multiplier into the jitted train step."""
+        if getattr(self, "plateau", None) is None:
+            return
+        scale = self.plateau.step(metric)
+        self.state = self.state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
     def _save_ckpt(self, step: int, best: bool = False):
         if self.ckpt is not None and jax.process_index() == 0:

@@ -202,6 +202,7 @@ class ForgeryEngine(AbstractEngine):
             % (self.best_step, self.best_auc, self.best_acc,
                timer.measure(), timer.measure(step / self.num_steps))
         )
+        self._plateau_step(metrics["AUC"] + metrics["ACC"])
         self._save_ckpt(step, best=False)
         if self.logger is not None:
             self.logger.log(

@@ -191,6 +191,7 @@ class OCIMEngine(AbstractEngine):
             % (self.best_step, self.best_auc, self.best_hter,
                timer.measure(), timer.measure(step / self.num_steps))
         )
+        self._plateau_step(metrics["AUC"] - metrics["ACER"])
         self._save_ckpt(step, best=False)
         if self.logger is not None:
             self.logger.log(

@@ -234,6 +234,7 @@ class UniAttackEngine(AbstractEngine):
                self.best_auc_video, self.best_hter_video, self.best_thres,
                timer.measure(), timer.measure(step / self.num_steps))
         )
+        self._plateau_step(frame["ACER"])
         self._save_ckpt(step, best=False)
         if self.logger is not None:
             self.logger.log(

@@ -55,6 +55,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # metric-fed LR multiplier (ReduceLROnPlateau): None = 1.0. Set by the
+    # engine after validation via state.replace(lr_scale=...); scales the
+    # final optimizer updates exactly like torch scaling group['lr'].
+    lr_scale: Any = None
 
 
 def create_train_state(model, tx, rng, sample_x) -> TrainState:
@@ -224,6 +228,8 @@ def make_train_step(
         if axis_name is not None:
             g1 = jax.lax.pmean(g1, axis_name)
         updates1, opt_state1 = tx.update(g1, state.opt_state, state.params)
+        if state.lr_scale is not None:
+            updates1 = jax.tree.map(lambda u: u * state.lr_scale, updates1)
         params1 = optax.apply_updates(state.params, updates1)
 
         # ---- pass 2 (perturbed) ----
@@ -246,10 +252,13 @@ def make_train_step(
         if faithful_grad_accumulation:
             g2 = jax.tree.map(jnp.add, g1, g2)
         updates2, opt_state2 = tx.update(g2, opt_state1, params1)
+        if state.lr_scale is not None:
+            updates2 = jax.tree.map(lambda u: u * state.lr_scale, updates2)
         params2 = optax.apply_updates(params1, updates2)
 
         new_state = TrainState(
-            step=cur_step, params=params2, batch_stats=stats2, opt_state=opt_state2
+            step=cur_step, params=params2, batch_stats=stats2, opt_state=opt_state2,
+            lr_scale=state.lr_scale,
         )
         metrics = {**aux1, **aux2}
         if axis_name is not None:
@@ -318,9 +327,12 @@ def make_normal_train_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if state.lr_scale is not None:
+            updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
-            step=state.step + 1, params=params, batch_stats=stats, opt_state=opt_state
+            step=state.step + 1, params=params, batch_stats=stats, opt_state=opt_state,
+            lr_scale=state.lr_scale,
         )
         metrics = aux
         if axis_name is not None:
