@@ -195,3 +195,52 @@ class TestSampler:
             out = b.next_batch(step)
             assert out["images"].shape == (4, 32, 32, 3)
             assert out["label"].shape == (4,)
+
+
+class TestDistortedOneOf:
+    """Per-image corruption semantics (albumentations OneOf parity,
+    dataset/uniattack.py:90-107)."""
+
+    def test_device_corrupt_is_per_sample(self):
+        import jax
+        import jax.numpy as jnp
+
+        from unidefense_tpu.data.transforms import _corrupt_oneof
+
+        # identical images in every batch slot: any cross-sample output
+        # difference must come from per-sample draws
+        rng = np.random.default_rng(0)
+        one = rng.random((16, 16, 3)).astype(np.float32)
+        x = jnp.asarray(np.stack([one] * 8))
+        out = np.asarray(_corrupt_oneof(jax.random.PRNGKey(3), x))
+        assert np.isfinite(out).all()
+        diffs = [
+            not np.allclose(out[i], out[j], atol=1e-6)
+            for i in range(8) for j in range(i + 1, 8)
+        ]
+        assert any(diffs), "all samples got the identical corruption (per-batch draw)"
+
+    def test_host_distorted_applies_exactly_one(self):
+        from unidefense_tpu.data.transforms import HostPipeline
+
+        hp = HostPipeline(height=24, width=24, distorted_oneof=True,
+                          rng=np.random.default_rng(5))
+        img = np.random.default_rng(1).integers(0, 256, (24, 24, 3), np.uint8)
+        outs = [hp(img.copy()) for _ in range(50)]
+        # every output is a valid uint8 image of the target size
+        for o in outs:
+            assert o.shape == (24, 24, 3) and o.dtype == np.uint8
+        # over 50 draws the choices vary (not one fixed corruption)
+        distinct = {o.tobytes() for o in outs}
+        assert len(distinct) > 5
+        assert not hp.is_plain_resize  # native fast path must be bypassed
+
+    def test_build_transforms_distorted_moves_oneof_to_host(self):
+        from unidefense_tpu.data.transforms import build_transforms
+
+        tf = [{"name": "Resize", "params": {"height": 16, "width": 16}},
+              {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}}]
+        host, dev = build_transforms(tf, corrupt_distorted=True)
+        assert host.distorted_oneof
+        assert not dev.corrupt
+        assert not host.is_plain_resize

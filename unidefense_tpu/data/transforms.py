@@ -89,31 +89,33 @@ def _blur(x, ksize):
 
 
 def _corrupt_oneof(rng, x):
-    """Per-batch random pick among blur / noise / contrast / saturation
-    (device half of the distorted-test OneOf; JPEG runs on host)."""
-    k1, k2, k3 = jax.random.split(rng, 3)
-    idx = jax.random.randint(k1, (), 0, 4)
+    """PER-SAMPLE random pick among blur / noise / contrast / saturation —
+    albumentations OneOf draws independently per image
+    (dataset/uniattack.py:90-107), so each sample gets its own corruption and
+    parameters. All four variants are computed batch-wide and selected per
+    sample (cheap relative to the model; avoids data-dependent control flow).
+    Contrast is multiply-only like albumentations' uint8 LUT (alpha*x, no
+    pivot); noise sigma is on the 0..255 scale like GaussNoise var_limit."""
+    n = x.shape[0]
+    kidx, kp, kn, kk = jax.random.split(rng, 4)
+    idx = jax.random.randint(kidx, (n, 1, 1, 1), 0, 4)
+    u = jax.random.uniform(kp, (n, 1, 1, 1))  # per-sample parameter draw
 
-    def do_blur(x):
-        ksize = 9 + 2 * jax.random.randint(k2, (), 0, 2)  # 9 or 11
-        return jax.lax.switch(
-            (ksize - 9) // 2, [lambda x: _blur(x, 9), lambda x: _blur(x, 11)], x
-        )
+    blurred = jnp.where(
+        jax.random.bernoulli(kk, 0.5, (n, 1, 1, 1)), _blur(x, 11), _blur(x, 9)
+    )
+    var = 10.0 + 10.0 * u  # U[10, 20] on the uint8 scale
+    noised = jnp.clip(x + jnp.sqrt(var) / 255.0 * jax.random.normal(kn, x.shape), 0.0, 1.0)
+    alpha = 0.5 + u  # U[0.5, 1.5]
+    contrast = jnp.clip(x * alpha, 0.0, 1.0)
+    gray = jnp.sum(x * jnp.asarray(_RGB_W), axis=-1, keepdims=True)
+    saturation = jnp.clip(alpha * x + (1 - alpha) * gray, 0.0, 1.0)
 
-    def do_noise(x):
-        var = jax.random.uniform(k2, (), minval=10.0, maxval=20.0) / (255.0**2)
-        return jnp.clip(x + jnp.sqrt(var) * jax.random.normal(k3, x.shape), 0.0, 1.0)
-
-    def do_contrast(x):
-        alpha = 1.0 + jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
-        return jnp.clip(x * alpha + 0.5 * (1 - alpha), 0.0, 1.0)
-
-    def do_saturation(x):
-        alpha = 1.0 + jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
-        gray = jnp.sum(x * jnp.asarray(_RGB_W), axis=-1, keepdims=True)
-        return jnp.clip(alpha * x + (1 - alpha) * gray, 0.0, 1.0)
-
-    return jax.lax.switch(idx, [do_blur, do_noise, do_contrast, do_saturation], x)
+    return jnp.where(
+        idx == 0,
+        blurred,
+        jnp.where(idx == 1, noised, jnp.where(idx == 2, contrast, saturation)),
+    )
 
 
 @dataclass
@@ -124,6 +126,11 @@ class HostPipeline:
     width: int = 256
     jpeg_compress: Optional[tuple[int, int]] = None  # (q_lo, q_hi) with prob
     jpeg_p: float = 0.0
+    # UniAttack Protocol-I distorted test (dataset/uniattack.py:90-107):
+    # exactly ONE of {JPEG 50-60, blur 9/11, noise var 10-20, contrast ±0.5,
+    # saturation ±0.5} per image, drawn uniformly — albumentations OneOf
+    # semantics, applied host-side for exact per-image parity.
+    distorted_oneof: bool = False
     # RandomResizedCrop (albumentations semantics): area scale range, aspect
     # ratio range, application prob, cv2 interpolation code
     rrc_scale: Optional[tuple[float, float]] = None
@@ -136,7 +143,38 @@ class HostPipeline:
     def is_plain_resize(self) -> bool:
         """True when the stage is a pure resize — eligible for the native
         batched decode fast path."""
-        return self.jpeg_compress is None and self.rrc_scale is None
+        return (
+            self.jpeg_compress is None
+            and self.rrc_scale is None
+            and not self.distorted_oneof
+        )
+
+    def _distorted(self, img: np.ndarray) -> np.ndarray:
+        """One uniformly-drawn corruption per image (OneOf with five equal
+        inner p's normalizes to 1/5 each). Formulas follow the albumentations
+        uint8 paths: contrast is a multiply-only LUT, noise sigma on the
+        0..255 scale, saturation blends with ITU-R 601 gray."""
+        c = int(self.rng.integers(0, 5))
+        if c == 0:  # ImageCompression(quality 50..60)
+            q = int(self.rng.integers(50, 61))
+            ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
+            if ok:
+                img = cv2.imdecode(enc, cv2.IMREAD_COLOR)[:, :, ::-1]
+        elif c == 1:  # GaussianBlur(blur_limit=(9, 11)) -> odd ksize 9 or 11
+            k = int(self.rng.choice([9, 11]))
+            img = cv2.GaussianBlur(img, (k, k), 0)
+        elif c == 2:  # GaussNoise(var_limit=(10, 20))
+            sigma = float(np.sqrt(self.rng.uniform(10.0, 20.0)))
+            noise = self.rng.normal(0.0, sigma, img.shape)
+            img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        elif c == 3:  # RandomBrightnessContrast(contrast_limit=0.5)
+            alpha = 1.0 + float(self.rng.uniform(-0.5, 0.5))
+            img = np.clip(img.astype(np.float32) * alpha, 0, 255).astype(np.uint8)
+        else:  # ColorJitter(saturation=0.5)
+            f = float(self.rng.uniform(0.5, 1.5))
+            gray = (img.astype(np.float32) @ _RGB_W)[..., None]
+            img = np.clip(img.astype(np.float32) * f + gray * (1.0 - f), 0, 255).astype(np.uint8)
+        return img
 
     def _random_resized_crop(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]
@@ -167,6 +205,8 @@ class HostPipeline:
             img = self._random_resized_crop(img)
         if img.shape[0] != self.height or img.shape[1] != self.width:
             img = cv2.resize(img, (self.width, self.height), interpolation=self.interpolation)
+        if self.distorted_oneof:
+            img = self._distorted(img)
         if self.jpeg_compress is not None and self.rng.random() < self.jpeg_p:
             q = int(self.rng.integers(self.jpeg_compress[0], self.jpeg_compress[1] + 1))
             ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
@@ -210,7 +250,8 @@ def build_transforms(cfg_list: list[dict], corrupt_distorted: bool = False):
         else:
             raise KeyError(f"Transform '{name}' not supported")
     if corrupt_distorted:
-        dev_kwargs["corrupt"] = True
-        host.jpeg_compress = (50, 60)
-        host.jpeg_p = 0.2
+        # the whole OneOf (incl. JPEG) runs host-side per image for exact
+        # albumentations parity; the device stage only normalizes
+        host.distorted_oneof = True
+        dev_kwargs.pop("corrupt", None)
     return host, DevicePipeline(**dev_kwargs)
