@@ -244,3 +244,61 @@ class TestDistortedOneOf:
         assert host.distorted_oneof
         assert not dev.corrupt
         assert not host.is_plain_resize
+
+
+class TestPrefetcher:
+    def test_multiworker_yields_in_step_order(self):
+        import time as _time
+
+        from unidefense_tpu.data.pipeline import BatchPrefetcher
+
+        def select(step):
+            return step
+
+        def load(step):
+            _time.sleep(0.02 if step % 3 == 0 else 0.001)  # jittered decode
+            return {"step": step}
+
+        pf = BatchPrefetcher(select=select, load=load, depth=3, workers=4,
+                             num_steps=20, start_step=1)
+        steps = [b["step"] for b in pf]
+        assert steps == list(range(1, 21))
+
+    def test_two_phase_matches_single_phase_selection(self):
+        """select()/load() split yields the same item sequence as the old
+        next_batch path (sampler state advances identically)."""
+        from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
+
+        class DS:
+            targets = list(range(20))
+
+            def __getitem__(self, i):
+                return f"item{i}", self.targets[i]
+
+            def load_item(self, items, labels, **kw):
+                return {"images": np.zeros((len(items), 2, 2, 3)), "path": items}
+
+        a = InfiniteBatcher(DS(), EpochSampler(20, 4, shuffle=True))
+        b = InfiniteBatcher(DS(), EpochSampler(20, 4, shuffle=True))
+        for step in range(1, 12):
+            out_a = a.next_batch(step)
+            out_b = b.load(b.select(step))
+            assert out_a["path"] == out_b["path"]
+
+    def test_prefetcher_propagates_exceptions(self):
+        from unidefense_tpu.data.pipeline import BatchPrefetcher
+
+        def load(step):
+            if step == 3:
+                raise RuntimeError("decode failed")
+            return step
+
+        pf = BatchPrefetcher(select=lambda s: s, load=load, depth=2, workers=2,
+                             num_steps=5, start_step=1)
+        got = []
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="decode failed"):
+            for b in pf:
+                got.append(b)
+        assert got == [1, 2]

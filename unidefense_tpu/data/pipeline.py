@@ -16,10 +16,9 @@ synchronous in-loop decode (engine/forgery_engine.py:243-258, SURVEY.md §3.5
 
 from __future__ import annotations
 
-import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional
+from typing import Any, Callable, Iterator, Optional
 
 import numpy as np
 
@@ -79,7 +78,13 @@ class EpochSampler:
 class InfiniteBatcher:
     """Step-driven batch stream over (dataset, sampler): re-seeds the sampler
     each time it is exhausted, mirroring the engines' iterator-refresh idiom
-    (engine/forgery_engine.py:243-248 re-seeds with the current step)."""
+    (engine/forgery_engine.py:243-248 re-seeds with the current step).
+
+    Split into two phases so the prefetcher can parallelize decode:
+    `select(cur_step)` advances the sampler and resolves index -> item
+    strings (cheap, called serially in step order, deterministic);
+    `load(selection)` decodes/crops/resizes (slow, safe to run on worker
+    threads — cv2/libjpeg release the GIL)."""
 
     def __init__(self, dataset, sampler: EpochSampler, load_kwargs: Optional[dict] = None):
         self.dataset = dataset
@@ -91,81 +96,84 @@ class InfiniteBatcher:
     def __len__(self):
         return len(self.sampler)
 
-    def next_batch(self, cur_step: int):
+    def select(self, cur_step: int):
         if self._it is None or self._count >= len(self.sampler):
             self.sampler.set_epoch(cur_step)
             self._it = iter(self.sampler)
             self._count = 0
         idx = next(self._it)
         self._count += 1
-        items = [self.dataset.images[i] for i in idx]
+        # datasets may override __getitem__ (e.g. WildDeepfake joins root)
+        items = [self.dataset[i][0] for i in idx]
         labels = np.asarray([self.dataset.targets[i] for i in idx], np.int64)
-        # WildDeepfake joins root in __getitem__; honor dataset overrides
-        if hasattr(self.dataset, "__getitem__"):
-            items = [self.dataset[i][0] for i in idx]
+        return items, labels
+
+    def load(self, selection):
+        items, labels = selection
         out = self.dataset.load_item(items, labels, **self.load_kwargs)
         out["label"] = labels
         return out
 
+    def next_batch(self, cur_step: int):
+        return self.load(self.select(cur_step))
+
 
 class BatchPrefetcher:
-    """Run a batch-producing callable several steps ahead on worker threads.
+    """Decode batches up to `depth` steps ahead on a pool of `workers`
+    threads, yielding in step order.
 
-    produce(cur_step) must be thread-safe per call. Batches come out in step
-    order. depth=2 double-buffers host IO against device compute.
-    """
+    Two-phase API: `select(step)` runs serially in the consumer thread in
+    ascending step order (keeps sampler state deterministic); `load(sel)`
+    runs on the pool. The single-callable form `produce(step)` is also
+    accepted (select becomes the identity) — use it only with workers=1
+    unless produce is thread-safe.
 
-    def __init__(self, produce: Callable[[int], dict], depth: int = 2,
-                 num_steps: int = 0, start_step: int = 1):
-        self.produce = produce
-        self.depth = depth
+    With workers > 1 the *order* in which concurrent loads draw from a
+    shared augmentation RNG is scheduling-dependent; pass workers=1 for
+    bit-deterministic input streams (the reference's synchronous in-loop
+    decode behaves like workers=1)."""
+
+    def __init__(self, produce: Optional[Callable[[int], dict]] = None,
+                 depth: int = 2, num_steps: int = 0, start_step: int = 1,
+                 select: Optional[Callable] = None,
+                 load: Optional[Callable] = None, workers: int = 1):
+        if produce is not None:
+            select, load = (lambda s: s), produce
+        if select is None or load is None:
+            raise ValueError("pass either produce or (select, load)")
+        self.select = select
+        self.load = load
+        self.depth = max(1, depth)
+        self.workers = max(1, workers)
         self.num_steps = num_steps
         self.start_step = start_step
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._started = False
-
-    def _run(self):
-        for step in range(self.start_step, self.num_steps + 1):
-            if self._stop.is_set():
-                return
-            try:
-                batch = self.produce(step)
-            except Exception as e:  # surface in the consumer
-                self._q.put(e)
-                return
-            self._q.put(batch)
 
     def __iter__(self):
-        if not self._started:
-            self._thread.start()
-            self._started = True
-        for _ in range(self.start_step, self.num_steps + 1):
-            item = self._q.get()
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        pool = ThreadPoolExecutor(max_workers=self.workers)
+        pending: dict[int, Any] = {}
+        next_submit = self.start_step
+
+        def submit_through(target: int):
+            nonlocal next_submit
+            while next_submit <= min(target, self.num_steps):
+                sel = self.select(next_submit)
+                pending[next_submit] = pool.submit(self.load, sel)
+                next_submit += 1
+
+        try:
+            submit_through(self.start_step + self.depth)
+            for step in range(self.start_step, self.num_steps + 1):
+                if self._stop.is_set():
+                    return
+                batch = pending.pop(step).result()
+                submit_through(step + 1 + self.depth)
+                yield batch
+        finally:
+            self._stop.set()
+            for f in pending.values():
+                f.cancel()
+            pool.shutdown(wait=False)
 
     def close(self):
         self._stop.set()
-
-
-def parallel_load(dataset, items, labels, load_kwargs, pool: ThreadPoolExecutor, chunk: int = 8):
-    """Decode a batch with a thread pool (cv2 drops the GIL during imdecode).
-    Used by the engines for large eval batches."""
-    if len(items) <= chunk:
-        return dataset.load_item(items, labels, **load_kwargs)
-    futs = []
-    for i in range(0, len(items), chunk):
-        futs.append(
-            pool.submit(dataset.load_item, items[i : i + chunk], labels[i : i + chunk], **load_kwargs)
-        )
-    outs = [f.result() for f in futs]
-    merged = {"images": np.concatenate([o["images"] for o in outs], axis=0)}
-    merged["path"] = sum((o["path"] for o in outs), [])
-    for k in outs[0]:
-        if k not in merged:
-            vals = [o[k] for o in outs if o[k] is not None]
-            merged[k] = np.concatenate(vals, axis=0) if vals else None
-    return merged

@@ -299,6 +299,18 @@ class AbstractEngine:
         if self.ckpt is not None and jax.process_index() == 0:
             self.ckpt.save(self.state, self._meta(step), best=best)
 
+    def _make_prefetcher(self):
+        """Decode-ahead training input pipeline: selection serial (sampler
+        determinism), decode on `data.num_workers` threads (default 2; set 1
+        to reproduce the reference's synchronous in-loop decode order)."""
+        from unidefense_tpu.data.pipeline import BatchPrefetcher
+
+        workers = int(self.data_cfg.get("num_workers", 2) or 1)
+        return BatchPrefetcher(
+            select=self._select_batch, load=self._load_batch, depth=2,
+            num_steps=self.num_steps, start_step=self.start_step, workers=workers,
+        )
+
     def assemble_batch(self, images_real, labels_real, images_fake, labels_fake):
         """Global batch with the per-device real-first layout
         (parallel/mesh.split_device_batch)."""
@@ -323,25 +335,48 @@ class AbstractEngine:
         tgt_dict: dict[str, list] = {}
         eval_rng = jax.random.fold_in(self.base_rng, 777)
         num_batches = -(-n // batch_size)
-        for b in range(num_batches):
+
+        def _select(b):
             idx = list(range(b * batch_size, min(n, (b + 1) * batch_size)))
             n_valid = len(idx)
             while len(idx) < batch_size:
                 idx.append(idx[-1])
             items = [dataset[i][0] for i in idx]
             labels = np.asarray([int(dataset[i][1]) for i in idx], np.int64)
+            return items, labels, n_valid
+
+        def _load(sel):
+            items, labels, n_valid = sel
             out = dataset.load_item(items, labels, **load_kwargs)
-            probs, _, _ = self.eval_step(
-                self.state.params, self.state.batch_stats,
-                jnp.asarray(out["images"]), jax.random.fold_in(eval_rng, b),
-            )
-            probs = np.asarray(probs)[:n_valid]
-            for p, pr, tg in zip(out["path"][:n_valid], probs, labels[:n_valid]):
-                vid = p.rsplit("/", 1)[0]
-                prob_dict.setdefault(vid, []).append(float(pr))
-                tgt_dict.setdefault(vid, []).append(float(tg))
-            if b % 50 == 0:
-                self._mprint(f"Eval {desc} ({b + 1}/{num_batches}), Global Step {step}")
+            return out, labels, n_valid
+
+        # decode batch b+1..b+lookahead on worker threads while the chip
+        # scores batch b (the reference decodes serially inline,
+        # engine/forgery_engine.py:336-360 — a visible stall every val_steps)
+        from concurrent.futures import ThreadPoolExecutor
+
+        lookahead = 2
+        pool = ThreadPoolExecutor(max_workers=2)
+        futs = {b: pool.submit(_load, _select(b)) for b in range(min(lookahead, num_batches))}
+        try:
+            for b in range(num_batches):
+                out, labels, n_valid = futs.pop(b).result()
+                nb = b + lookahead
+                if nb < num_batches:
+                    futs[nb] = pool.submit(_load, _select(nb))
+                probs, _, _ = self.eval_step(
+                    self.state.params, self.state.batch_stats,
+                    jnp.asarray(out["images"]), jax.random.fold_in(eval_rng, b),
+                )
+                probs = np.asarray(probs)[:n_valid]
+                for p, pr, tg in zip(out["path"][:n_valid], probs, labels[:n_valid]):
+                    vid = p.rsplit("/", 1)[0]
+                    prob_dict.setdefault(vid, []).append(float(pr))
+                    tgt_dict.setdefault(vid, []).append(float(tg))
+                if b % 50 == 0:
+                    self._mprint(f"Eval {desc} ({b + 1}/{num_batches}), Global Step {step}")
+        finally:
+            pool.shutdown(wait=False)
         return prob_dict, tgt_dict
 
     def log_recon_figure(self, dataset, load_kwargs: dict, step: int, every: int = 10000):
@@ -374,8 +409,14 @@ class AbstractEngine:
         fig_path = os.path.join(self.run_dir, f"recon_step{step}.png")
         try:
             fig.savefig(fig_path)
+            if self.logger is not None:
+                self.logger.log_image("figure/recon", fig, step)
         except Exception:
             pass
+        finally:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
 
     @staticmethod
     def gather_eval_output(prob_dict: dict, tgt_dict: dict) -> dict:

@@ -15,7 +15,7 @@ import numpy as np
 
 from unidefense_tpu.config import load_dataset_config
 from unidefense_tpu.data.datasets import OCIMDataset, OCIMSubDataset
-from unidefense_tpu.data.pipeline import BatchPrefetcher, EpochSampler, InfiniteBatcher
+from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
 from unidefense_tpu.engines.base import AbstractEngine
 from unidefense_tpu.utils.meters import AccMeter, AverageMeter, Timer
 from unidefense_tpu.utils.metrics import cal_metrics
@@ -111,12 +111,15 @@ class OCIMEngine(AbstractEngine):
             [c for d in range(self.n_dev) for dom in chunks for c in (dom[d],)], 0
         )
 
-    def _produce_batch(self, cur_step: int):
-        """Pull one batch per domain stream; concat real streams then fake
+    def _select_batch(self, cur_step: int):
+        return [b.select(cur_step) for b in self.batchers]
+
+    def _load_batch(self, sels):
+        """Load one batch per domain stream; concat real streams then fake
         streams (engine/ocim_engine.py:229-255)."""
         real_imgs, real_lbls, fake_imgs, fake_lbls = [], [], [], []
-        for domain_idx, batcher in enumerate(self.batchers):
-            out = batcher.next_batch(cur_step)
+        for domain_idx, (batcher, sel) in enumerate(zip(self.batchers, sels)):
+            out = batcher.load(sel)
             if domain_idx % 2 == 0:
                 real_imgs.append(out["images"])
                 real_lbls.append(out["label"])
@@ -128,11 +131,14 @@ class OCIMEngine(AbstractEngine):
             self._interleave_domains(fake_imgs), self._interleave_domains(fake_lbls),
         )
 
+    def _produce_batch(self, cur_step: int):
+        return self._load_batch(self._select_batch(cur_step))
+
     def train(self):
         timer = Timer()
         train_acc = AccMeter()
         trackers: dict[str, AverageMeter] = {}
-        prefetch = BatchPrefetcher(self._produce_batch, depth=2, num_steps=self.num_steps, start_step=self.start_step)
+        prefetch = self._make_prefetcher()
         rng = jax.random.fold_in(self.base_rng, 54321)
 
         cur_step = self.start_step - 1

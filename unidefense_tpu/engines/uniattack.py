@@ -17,7 +17,7 @@ import numpy as np
 
 from unidefense_tpu.config import load_dataset_config
 from unidefense_tpu.data.datasets import UniAttack
-from unidefense_tpu.data.pipeline import BatchPrefetcher, EpochSampler, InfiniteBatcher
+from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
 from unidefense_tpu.engines.base import AbstractEngine
 from unidefense_tpu.utils.meters import AccMeter, AverageMeter, Timer
 from unidefense_tpu.utils.metrics import cal_metrics
@@ -136,18 +136,24 @@ class UniAttackEngine(AbstractEngine):
         )
         return meta
 
-    def _produce_batch(self, cur_step: int):
-        real = self.real_batcher.next_batch(cur_step)
-        fake = self.fake_batcher.next_batch(cur_step)
+    def _select_batch(self, cur_step: int):
+        return self.real_batcher.select(cur_step), self.fake_batcher.select(cur_step)
+
+    def _load_batch(self, sels):
+        real = self.real_batcher.load(sels[0])
+        fake = self.fake_batcher.load(sels[1])
         return self.assemble_batch(
             real["images"], real["label"], fake["images"], fake["label"]
         )
+
+    def _produce_batch(self, cur_step: int):
+        return self._load_batch(self._select_batch(cur_step))
 
     def train(self):
         timer = Timer()
         train_acc = AccMeter()
         trackers: dict[str, AverageMeter] = {}
-        prefetch = BatchPrefetcher(self._produce_batch, depth=2, num_steps=self.num_steps, start_step=self.start_step)
+        prefetch = self._make_prefetcher()
         rng = jax.random.fold_in(self.base_rng, 99999)
 
         cur_step = self.start_step - 1

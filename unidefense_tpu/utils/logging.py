@@ -52,6 +52,22 @@ class TrainLogger:
         if self._wandb is not None:
             self._wandb.log(info, step=step)
 
+    def log_image(self, name: str, figure, step: int):
+        """Upload a matplotlib figure to the tracker (reference:
+        engine/abstract_engine.py:103-106 logs recon grids via
+        wandb.log({name: wandb.Image(fig)})). JSONL records the event; the
+        pixels go to wandb when available."""
+        if not self.enabled:
+            return
+        rec = {"step": step, "ts": time.time(), "image": name}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            try:
+                self._wandb.log({name: self._wandb.Image(figure)}, step=step)
+            except Exception:
+                pass
+
     def finish(self):
         if not self.enabled:
             return
