@@ -1,11 +1,22 @@
-"""Benchmark: EfficientNet-b4 UniDefense two-pass training throughput @256².
+"""Benchmark: EfficientNet-b4 UniDefense two-pass training throughput.
 
-Measures images/sec/chip for the full training step (two forward/backward
-passes + two optimizer updates, batch 10 real + 10 fake — the reference's
-per-GPU workload, README.md:110-120 + config_template/forgery/model_udeb4.yml:33).
-BASELINE.md's north star: >=2x an H100 running the PyTorch reference.
+Two measurements (BASELINE.md, VERDICT round-1 items 3+4):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. device-only: the full training step (two forward/backward passes + two
+   optimizer updates, batch 10 real + 10 fake @256² — the reference's
+   per-GPU workload, README.md:110-120 + config_template/forgery/
+   model_udeb4.yml:33) on a device-resident uint8 batch, with FLOPs/step from
+   XLA cost analysis and MFU vs the chip's peak;
+2. engine end-to-end: the REAL ForgeryEngine input path (FrameStore JPEG
+   blobs -> native/cv2 decode -> resize -> prefetch threads -> fused device
+   preprocessing) feeding the same step at the reference's actual FE
+   resolution 380², so host decode is in the timed loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Set UD_BENCH_FAST=1 to skip the e2e half (e.g. quick regression checks).
+
+Timing note: block_until_ready can return before execution completes on this
+tunneled runtime; every window ends with a forced value fetch.
 """
 
 import json
@@ -17,91 +28,212 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference implementation throughput for the same workload (EfficientNet-b4
-# dual-space two-pass train step @256², batch 10+10). The reference repo
-# publishes no numbers (BASELINE.md); this constant is the measured PyTorch
-# eager CPU-extrapolated placeholder until an H100 measurement lands — update
-# BASELINE.md when it does. vs_baseline reports value/baseline.
+# Reference denominator (H100 PyTorch, images/sec) — not measured yet; the
+# reference repo has no benchmark harness and no H100 is reachable from this
+# environment (BASELINE.md). vs_baseline reports value/baseline when set.
 H100_BASELINE_IMG_PER_SEC = float(os.environ.get("UD_BASELINE_IPS", "0") or 0)
+# TPU v5e peak dense bf16 throughput per chip.
+PEAK_FLOPS = float(os.environ.get("UD_PEAK_FLOPS", 197e12))
+
+CFG = {
+    "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                  "weight_decay": 5e-6, "amsgrad": True},
+    "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+    "lambda_mask": 0.1, "lambda_fac": 0.1,
+}
 
 
-def main():
+def _build(size: int, batch_real: int = 10, batch_fake: int = 10):
+    """State + jitted two-pass step on UDEB4 (bf16 compute, uint8 input +
+    fused device preprocessing — how the engines run it)."""
+    from unidefense_tpu.data.transforms import DevicePipeline
     from unidefense_tpu.models.registry import load_model
     from unidefense_tpu.train.optim import build_optimizer
     from unidefense_tpu.train.step import create_train_state, make_train_step
 
-    batch_real = batch_fake = 10
     n = batch_real + batch_fake
-    size = 256
-    steps = 20  # per timing window; ~170 ms/step sustained on the v5e tunnel
-
-    from unidefense_tpu.data.transforms import DevicePipeline
-
     model = load_model("UDEB4")(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    # uint8 input + fused device preprocessing inside the step, like the
-    # engines run it (normalize + random flip -> bf16)
     device_tf = DevicePipeline(hflip_p=0.5, out_dtype=jnp.float32)
     x_u8 = jax.random.randint(rng, (n, size, size, 3), 0, 256, jnp.int32).astype(jnp.uint8)
-    x = device_tf(x_u8, None)  # for init shapes
-    labels = jnp.array([0] * batch_real + [1] * batch_fake)
+    x = device_tf(x_u8, None)  # float shapes for init
 
     shapes = jax.eval_shape(
         lambda: model.init({"params": rng, "dropout": rng}, x, train=False)
     )
-    cfg = {
-        "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
-                      "weight_decay": 5e-6, "amsgrad": True},
-        "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
-        "lambda_mask": 0.1, "lambda_fac": 0.1,
-    }
-    tx, _ = build_optimizer(cfg, shapes["params"])
+    tx, _ = build_optimizer(CFG, shapes["params"])
     state = create_train_state(model, tx, rng, x)
-    # per-call dispatch with donated state — the exact execution model the
-    # engines use. (A lax.scan-of-steps variant measures ~10x slower on the
-    # axon tunnel backend — its while-loop iterations appear to round-trip
-    # the host — so the async dispatch chain is both the realistic and the
-    # faster path.)
     step_fn = jax.jit(
-        make_train_step(model, tx, cfg, num_steps=90000,
+        make_train_step(model, tx, CFG, num_steps=90000,
                         sum_real=batch_real, sum_fake=batch_fake,
                         preprocess=device_tf),
         donate_argnums=0,
     )
-    batch = {"image": x_u8, "label": labels}
+    labels = jnp.array([0] * batch_real + [1] * batch_fake)
+    return state, step_fn, {"image": x_u8, "label": labels}, rng
 
-    windows = 3
+
+def _flops_per_step(step_fn, state, batch, rng) -> float:
+    try:
+        ca = step_fn.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_device_only(size: int = 256, steps: int = 20, windows: int = 3):
+    state, step_fn, batch, rng = _build(size)
+    n = int(batch["label"].shape[0])
+    flops = _flops_per_step(step_fn, state, batch, rng)
+
     rngs = list(jax.random.split(rng, windows * steps + 10))
     jax.block_until_ready(rngs)
-
-    # compile + 10-step warmup (absorbs the donation-variant recompile)
-    for i in range(10):
+    for i in range(10):  # compile + warmup (absorbs donation recompile)
         state, metrics, _ = step_fn(state, batch, rngs[i])
     assert bool(jnp.isfinite(float(metrics["total_loss"])))
 
-    # several timing windows, best-of; each window ENDS with a forced value
-    # fetch — block_until_ready alone returns before execution completes on
-    # some remote-device runtimes and then reports dispatch rate, not compute
-    best_dt = float("inf")
-    k = 10
+    best_dt, k = float("inf"), 10
     for _ in range(windows):
         t0 = time.time()
         for _ in range(steps):
             state, metrics, _ = step_fn(state, batch, rngs[k])
             k += 1
-        loss = float(metrics["total_loss"])
+        loss = float(metrics["total_loss"])  # forced fetch closes the window
         best_dt = min(best_dt, time.time() - t0)
-    dt = best_dt
     assert np.isfinite(loss), "non-finite loss in bench"
+    ips = n * steps / best_dt
+    sec_per_step = best_dt / steps
+    mfu = flops / sec_per_step / PEAK_FLOPS if flops else None
+    return ips, flops, mfu
 
-    ips = n * steps / dt
-    vs = ips / H100_BASELINE_IMG_PER_SEC if H100_BASELINE_IMG_PER_SEC else None
-    print(json.dumps({
+
+# ------------------------------------------------------------------ engine e2e
+
+E2E_STORE = os.environ.get("UD_BENCH_STORE", "/tmp/ud_bench_ffpp")
+
+
+def _make_store(root: str, size: int = 380, videos: int = 20, frames: int = 30):
+    """Synthetic FF++-layout JPEG tree at the target resolution (the
+    reference reads FF++ frames from plain files too —
+    dataset/abstract_dataset.py:121-123 — so decode cost is like-for-like)."""
+    import cv2
+    import torch
+
+    os.makedirs(os.path.join(root, "pickle_files"), exist_ok=True)
+    index = []
+    rng = np.random.default_rng(0)
+    for kind, _label in (("original_sequences/youtube", 0),
+                         ("manipulated_sequences/Deepfakes", 1)):
+        for v in range(videos):
+            base = rng.integers(0, 200, (size, size, 3))
+            for f in range(frames):
+                img = np.clip(base + rng.integers(0, 56, (size, size, 3)), 0, 255)
+                rel = f"{kind}/c23/images/{v:03d}/{f:04d}.jpg"
+                full = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                cv2.imwrite(full, img.astype(np.uint8),
+                            [cv2.IMWRITE_JPEG_QUALITY, 90])
+                index.append((rel, _label))
+    for split in ("train", "val", "test"):
+        torch.save(index, os.path.join(root, "pickle_files", f"{split}_c23.pickle"))
+
+
+def bench_engine_e2e(size: int = 380, steps: int = 15, windows: int = 3,
+                     warmup: int = 6):
+    """Sustained img/s of the FE engine's real input path + train step:
+    FrameStore blob read -> JPEG decode -> resize -> 2-thread prefetch ->
+    H2D uint8 -> fused device preprocess -> two-pass step."""
+    if not os.path.exists(os.path.join(E2E_STORE, "pickle_files", "train_c23.pickle")):
+        _make_store(E2E_STORE, size=size)
+
+    transforms = [
+        {"name": "Resize", "params": {"height": size, "width": size}},
+        {"name": "HorizontalFlip", "params": {"p": 0.5}},
+        {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+    ]
+    total = warmup + windows * steps + 2
+    config = {
+        "model": {"name": "UDEB4", "num_classes": 2},
+        "config": {**CFG, "crop": "nocrop", "warmup_step": 0, "resume": False,
+                   "id": "bench", "debug": True, "offline": True,
+                   "precision": "bf16"},
+        "data": {"train_batch_size": 10, "val_batch_size": 20,
+                 "num_workers": 2, "file": "<inline>"},
+    }
+    ds_options = {
+        "root": E2E_STORE, "name": "FFpp", "use_lmdb": False,
+        "real_method": ["Origin"], "fake_method": ["Deepfakes"],
+        "compression": "c23", "num_steps": total, "log_steps": 10**9,
+        "val_steps": 10**9,
+        "train_transforms": transforms, "val_transforms": transforms,
+        "test_transforms": transforms,
+    }
+
+    from unidefense_tpu.engines.forgery import ForgeryEngine
+
+    class _BenchFE(ForgeryEngine):
+        # inline the dataset options instead of a YAML file on disk
+        # (patch the name bound inside engines.forgery, not the config module)
+        def _train_settings(self, model_cfg, data_cfg, config_cfg):
+            import unidefense_tpu.engines.forgery as fe_mod
+
+            orig = fe_mod.load_dataset_config
+            fe_mod.load_dataset_config = lambda _cfg: dict(ds_options)
+            try:
+                super()._train_settings(model_cfg, data_cfg, config_cfg)
+            finally:
+                fe_mod.load_dataset_config = orig
+
+    eng = _BenchFE(config, stage="Train")
+    prefetch = eng._make_prefetcher()
+    rng = jax.random.fold_in(eng.base_rng, 12345)
+    it = iter(prefetch)
+    n = 20  # 10 real + 10 fake per step
+
+    for i in range(warmup):
+        batch = next(it)
+        eng.state, metrics, _ = eng.train_step(
+            eng.state, batch, jax.random.fold_in(rng, i)
+        )
+    assert bool(jnp.isfinite(float(metrics["total_loss"])))
+
+    best_dt = float("inf")
+    k = warmup
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(steps):
+            batch = next(it)
+            eng.state, metrics, _ = eng.train_step(
+                eng.state, batch, jax.random.fold_in(rng, k)
+            )
+            k += 1
+        loss = float(metrics["total_loss"])  # forced fetch
+        best_dt = min(best_dt, time.time() - t0)
+    prefetch.close()
+    assert np.isfinite(loss)
+    return n * steps / best_dt
+
+
+def main():
+    ips, flops, mfu = bench_device_only()
+    out = {
         "metric": "udeb4_train_images_per_sec_per_chip_256",
         "value": round(ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+        "vs_baseline": (round(ips / H100_BASELINE_IMG_PER_SEC, 3)
+                        if H100_BASELINE_IMG_PER_SEC else None),
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
+    if not os.environ.get("UD_BENCH_FAST"):
+        try:
+            e2e = bench_engine_e2e()
+            out["engine_e2e_ips_380"] = round(e2e, 2)
+        except Exception as e:  # e2e failure must not hide the primary metric
+            out["engine_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
