@@ -44,10 +44,34 @@ def _install_stubs():
         sys.modules.setdefault(name, m)
 
     dummy = lambda *a, **k: None
+
+    def gaussian_blur(t, kernel_size, sigma=None):
+        """Real torchvision.transforms.functional.gaussian_blur semantics —
+        the reference's random_blur perturbation (model/modules.py:15-16)
+        actually runs during pass 2, so the stub must compute, not no-op."""
+        import torch.nn.functional as F
+
+        ks = list(kernel_size) if isinstance(kernel_size, (list, tuple)) else [kernel_size] * 2
+
+        def kern1d(k, s):
+            if s is None:
+                s = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
+            xs = torch.arange(k, dtype=torch.float32) - (k - 1) / 2
+            g = torch.exp(-((xs / s) ** 2) / 2)
+            return g / g.sum()
+
+        kx, ky = kern1d(ks[0], sigma), kern1d(ks[1], sigma)
+        img = t if t.dim() == 4 else t[None]
+        c = img.shape[-3]
+        img = F.pad(img, [ks[0] // 2, ks[0] // 2, ks[1] // 2, ks[1] // 2], mode="reflect")
+        kern = torch.outer(ky, kx)[None, None].expand(c, 1, ks[1], ks[0])
+        out = F.conv2d(img, kern, groups=c)
+        return out if t.dim() == 4 else out[0]
+
     stub("wandb", init=dummy, log=dummy, finish=dummy)
     stub("torchvision")
     stub("torchvision.transforms")
-    stub("torchvision.transforms.functional", gaussian_blur=dummy)
+    stub("torchvision.transforms.functional", gaussian_blur=gaussian_blur)
     stub("torchvision.datasets", VisionDataset=object)
     stub("timm")
     stub("timm.models")
@@ -63,7 +87,8 @@ def _install_stubs():
 
 # --------------------------------------------------------------- data
 
-def make_data(size: int, n_videos: int = 24, frames: int = 4, seed: int = 0):
+def make_data(size: int, n_videos: int = 24, frames: int = 4, seed: int = 0,
+              artifact: float = 0.10):
     """Separable synthetic set (same construction as
     tools/validate_learning.py): smooth random blobs; fakes carry a faint
     checkerboard (a spectral artifact the dual-space model can latch onto).
@@ -83,7 +108,7 @@ def make_data(size: int, n_videos: int = 24, frames: int = 4, seed: int = 0):
         for f in range(frames):
             reals.append(blob(hash(("r", v, f, seed)) % 2**31))
             fakes.append(np.clip(blob(hash(("f", v, f, seed)) % 2**31)
-                                 + 0.10 * cb[:, :, None], 0, 1))
+                                 + artifact * cb[:, :, None], 0, 1))
     return np.stack(reals), np.stack(fakes)
 
 
@@ -228,6 +253,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--wd", type=float, default=5e-5)
     ap.add_argument("--out", default="runs/parity")
+    ap.add_argument("--artifact", type=float, default=0.10,
+                    help="fake-class checkerboard amplitude (lower = harder)")
     args = ap.parse_args()
 
     import jax
@@ -245,7 +272,7 @@ def main():
     }
 
     print("== generating data ==")
-    reals, fakes = make_data(args.size)
+    reals, fakes = make_data(args.size, artifact=args.artifact)
     n_val = 32
     x_val = np.concatenate([reals[-n_val // 2:], fakes[-n_val // 2:]], 0)
     x_val = ((x_val - 0.5) / 0.5).astype(np.float32)
@@ -308,6 +335,10 @@ def main():
     loss_scale = float(np.mean(np.abs(hist["torch_loss"][h:])))
     summary = {
         "steps": args.steps, "size": args.size, "bs": 2 * args.bs,
+        "artifact": args.artifact,
+        "loss_curve_correlation": float(np.corrcoef(
+            np.asarray(hist["torch_loss"]), np.asarray(hist["jax_loss"])
+        )[0, 1]),
         "final_torch_auc": hist["torch_auc"][-1],
         "final_jax_auc": hist["jax_auc"][-1],
         "auc_gap_final": abs(hist["torch_auc"][-1] - hist["jax_auc"][-1]),
