@@ -43,18 +43,23 @@ def _cost(fn, *args):
         return 0.0, 0.0
 
 
-def _time(fn, state, batch, rng, steps, donate=True):
+def _time(fn, state, batch, rng, steps, rethread=True):
+    """Time fn over `steps` calls. rethread=True treats fn as a train step
+    returning (new_state, ...) with donated input state — a fresh copy of
+    `state` is made so the caller's buffers survive donation."""
     rngs = list(jax.random.split(rng, steps + 6))
     jax.block_until_ready(rngs)
+    if rethread:
+        state = jax.tree.map(jnp.array, state)  # private donatable copy
     out = None
     for i in range(6):
         r = fn(state, batch, rngs[i])
-        state, out = (r[0], r[1]) if isinstance(r, tuple) else (state, r)
+        state, out = (r[0], r[1]) if rethread else (state, r)
     _force(out)
     t0 = time.time()
     for i in range(steps):
         r = fn(state, batch, rngs[6 + i])
-        state, out = (r[0], r[1]) if isinstance(r, tuple) else (state, r)
+        state, out = (r[0], r[1]) if rethread else (state, r)
     _force(out)
     return (time.time() - t0) / steps
 
@@ -120,7 +125,7 @@ def main():
 
     ev = jax.jit(make_eval_step(model, preprocess=DevicePipeline(hflip_p=0.0, out_dtype=jnp.float32)))
     ev_fn = lambda s, bb, r: ev(s.params, s.batch_stats, bb["image"], r)
-    dt = _time(ev_fn, state, batch, rng, args.steps, donate=False)
+    dt = _time(ev_fn, state, batch, rng, args.steps, rethread=False)
     report("eval forward only", dt)
 
     # ---- single-pass train step (one fwd+bwd+update): pass-2 share
