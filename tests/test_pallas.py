@@ -32,3 +32,59 @@ def test_normalize_no_flip():
     out = normalize_flip(u8, None, hflip_p=0.0, interpret=True)
     ref = _jnp_ref(u8, None, (0.5,) * 3, (0.5,) * 3, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestSFConvPallas:
+    """Fused SFConv freq-branch kernel == the spatial closed form, fwd and
+    grads (interpret mode on CPU; the TPU path is the same kernel)."""
+
+    def _setup(self, shape=(2, 8, 8, 5)):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        c = shape[-1]
+        wp = jnp.asarray(rng.standard_normal((2 * c, 2 * c)), jnp.float32)
+        return x, wp
+
+    def test_forward_matches_spatial_form(self):
+        from unidefense_tpu.ops.sfconv_pallas import sfconv_freq_pallas
+        from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+        for shape in [(2, 8, 8, 5), (1, 6, 10, 3), (2, 5, 7, 4)]:
+            x, wp = self._setup(shape)
+            ref = sfconv_freq_spatial(x, wp)
+            out = sfconv_freq_pallas(x, wp, True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_spatial_form(self):
+        import jax
+
+        from unidefense_tpu.ops.sfconv_pallas import sfconv_freq_pallas
+        from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+        x, wp = self._setup((2, 6, 8, 3))
+        cot = jnp.asarray(
+            np.random.default_rng(1).standard_normal(x.shape), jnp.float32
+        )
+
+        def loss_ref(x, wp):
+            return jnp.sum(sfconv_freq_spatial(x, wp) * cot)
+
+        def loss_pal(x, wp):
+            return jnp.sum(sfconv_freq_pallas(x, wp, True) * cot)
+
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wp)
+        gx_p, gw_p = jax.grad(loss_pal, argnums=(0, 1))(x, wp)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_eligibility_gate(self):
+        from unidefense_tpu.ops.sfconv_pallas import pallas_eligible
+
+        # CPU backend in tests -> never eligible (kernel still unit-tested
+        # through interpret mode above)
+        assert not pallas_eligible((2, 64, 64, 192))

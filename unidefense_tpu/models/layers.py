@@ -235,10 +235,20 @@ class SFConv(nn.Module):
         # nn.Conv it replaces so checkpoints are interchangeable
         freq_kernel = _FreqKernel(2 * in_feat, 2 * self.features, name="freq_conv")()
         if _SFCONV_MODE == "spatial":
-            # exact FFT-free closed form (see ops/sfconv_spatial.py)
-            freq = sfconv_freq_spatial(
-                x.astype(self.dtype or x.dtype), freq_kernel[0, 0].astype(self.dtype or x.dtype)
-            ).astype(jnp.float32)
+            # exact FFT-free closed form (see ops/sfconv_spatial.py); on TPU
+            # at width >= 32 the fused single-pass Pallas kernel wins
+            # (ops/sfconv_pallas.py, measured in PROGRESS.md)
+            xc = x.astype(self.dtype or x.dtype)
+            from unidefense_tpu.ops.sfconv_pallas import (
+                pallas_eligible, sfconv_freq_pallas,
+            )
+
+            if pallas_eligible(xc.shape):
+                freq = sfconv_freq_pallas(xc, freq_kernel[0, 0]).astype(jnp.float32)
+            else:
+                freq = sfconv_freq_spatial(
+                    xc, freq_kernel[0, 0].astype(self.dtype or x.dtype)
+                ).astype(jnp.float32)
         else:
             spec = spectrum_channels(x, norm=self.freq_norm)  # (N, H, Wf, 2C)
             spec = spec.astype(self.dtype or x.dtype) @ freq_kernel[0, 0].astype(
