@@ -135,3 +135,23 @@ def test_forgery_engine_lifecycle(fe_config):
     engine3 = get_engine("FE")(cfg3, stage="Test")
     metrics = engine3.test()
     assert "AUC" in metrics and 0.0 <= metrics["AUC"] <= 1.0
+
+
+def test_profiler_trace_option(fe_config):
+    """config.profile_start_step writes a jax.profiler trace into the run
+    dir (SURVEY §5 TPU add; VERDICT round-1 missing #6)."""
+    import copy
+    import glob
+
+    from unidefense_tpu.engines import get_engine
+
+    cfg = copy.deepcopy(fe_config)
+    cfg["config"]["id"] = "pytest-profile"
+    cfg["config"]["profile_start_step"] = 1
+    cfg["config"]["profile_steps"] = 2
+    engine = get_engine("FE")(cfg, stage="Train")
+    engine.train()
+    trace_files = glob.glob(
+        os.path.join(engine.run_dir, "profile", "**", "*"), recursive=True
+    )
+    assert any(os.path.isfile(f) for f in trace_files), "no trace files written"

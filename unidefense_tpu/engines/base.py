@@ -299,6 +299,24 @@ class AbstractEngine:
         if self.ckpt is not None and jax.process_index() == 0:
             self.ckpt.save(self.state, self._meta(step), best=best)
 
+    def _profile_tick(self, cur_step: int):
+        """Optional jax.profiler capture (SURVEY §5's TPU-rebuild add): set
+        config.profile_start_step (and profile_steps, default 5) to write a
+        device trace for those steps into <run_dir>/profile/. View with
+        tensorboard-profile or xprof."""
+        start = self.config_cfg.get("profile_start_step")
+        if start is None or self.run_dir is None or jax.process_index() != 0:
+            return
+        start = int(start)
+        n = int(self.config_cfg.get("profile_steps", 5))
+        if cur_step == start:
+            self._trace_dir = os.path.join(self.run_dir, "profile")
+            jax.profiler.start_trace(self._trace_dir)
+        elif cur_step == start + n:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._mprint(f"Profiler trace written to {self._trace_dir}")
+
     def _make_prefetcher(self):
         """Decode-ahead training input pipeline: selection serial (sampler
         determinism), decode on `data.num_workers` threads (default 2; set 1

@@ -159,6 +159,7 @@ class UniAttackEngine(AbstractEngine):
         cur_step = self.start_step - 1
         for batch in prefetch:
             cur_step += 1
+            self._profile_tick(cur_step)
             self.state, metrics, cls_out = self.train_step(
                 self.state, batch, jax.random.fold_in(rng, cur_step)
             )
