@@ -160,7 +160,8 @@ def bench_engine_e2e(size: int = 380, steps: int = 15, windows: int = 3,
                    "id": "bench", "debug": True, "offline": True,
                    "precision": "bf16"},
         "data": {"train_batch_size": 10, "val_batch_size": 20,
-                 "num_workers": 2, "file": "<inline>"},
+                 "num_workers": int(os.environ.get("UD_E2E_WORKERS", "2")),
+                 "file": "<inline>"},
     }
     ds_options = {
         "root": E2E_STORE, "name": "FFpp", "use_lmdb": False,

@@ -302,3 +302,26 @@ class TestPrefetcher:
             for b in pf:
                 got.append(b)
         assert got == [1, 2]
+
+
+def test_fast_forward_reproduces_stream(ffpp_root):
+    """A resumed batcher (fast_forward to step k) yields the same selections
+    as an uninterrupted one — deterministic data-stream resume."""
+    from unidefense_tpu.data.datasets import FaceForensics
+    from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
+
+    def make():
+        ds = FaceForensics(_ffpp_cfg(ffpp_root, method=["Origin", "Deepfakes"]), "train")
+        return InfiniteBatcher(
+            ds, EpochSampler(len(ds), 4, shuffle=True, drop_last=True),
+            load_kwargs={"crop": "nocrop"},
+        )
+
+    a, b = make(), make()
+    seq_a = [a.select(s) for s in range(1, 13)]  # crosses an epoch boundary
+    b.fast_forward(7)
+    for s in range(7, 13):
+        items_b, labels_b = b.select(s)
+        items_a, labels_a = seq_a[s - 1]
+        assert items_a == items_b
+        assert (labels_a == labels_b).all()

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Serving throughput: jitted eval forward (fused preprocessing included)
+for the flagship UDEB4, uint8 frames in -> P(real) out.
+
+Usage: python tools/bench_inference.py [--size 380] [--batches 32 64 128]
+Prints one JSON line per (size, batch). Run ALONE on the box (CLAUDE.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="UDEB4")
+    ap.add_argument("--size", type=int, default=380)
+    ap.add_argument("--batches", type=int, nargs="+", default=[32, 128])
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    from unidefense_tpu.inference import Predictor
+
+    for bs in args.batches:
+        pred = Predictor(args.model, input_size=args.size, batch_size=bs)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (bs, args.size, args.size, 3), np.uint8)
+        x = jnp.asarray(frames)
+        # warmup/compile
+        p, _, _ = pred._eval(pred.params, pred.batch_stats, x, None)
+        float(np.asarray(p)[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(args.steps):
+                p, _, _ = pred._eval(pred.params, pred.batch_stats, x, None)
+            float(np.asarray(p)[0])  # forced fetch
+            best = min(best, time.time() - t0)
+        ips = bs * args.steps / best
+        print(json.dumps({
+            "metric": f"{args.model.lower()}_eval_images_per_sec_{args.size}",
+            "batch": bs, "value": round(ips, 2), "unit": "images/sec",
+            "ms_per_batch": round(best / args.steps * 1e3, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()

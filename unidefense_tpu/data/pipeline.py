@@ -117,6 +117,15 @@ class InfiniteBatcher:
     def next_batch(self, cur_step: int):
         return self.load(self.select(cur_step))
 
+    def fast_forward(self, to_step: int, from_step: int = 1):
+        """Replay (and discard) the selections for steps [from_step, to_step)
+        so a RESUMED run continues the exact data stream an uninterrupted run
+        would have seen at to_step. Selection is index arithmetic only
+        (~µs/step); no decode happens. The reference cannot do this — its
+        resume path is broken outright (engine/forgery_engine.py:211-213)."""
+        for s in range(from_step, to_step):
+            self.select(s)
+
 
 class BatchPrefetcher:
     """Decode batches up to `depth` steps ahead on a pool of `workers`

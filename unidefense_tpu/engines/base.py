@@ -299,6 +299,15 @@ class AbstractEngine:
         if self.ckpt is not None and jax.process_index() == 0:
             self.ckpt.save(self.state, self._meta(step), best=best)
 
+    def _current_lr(self, cur_step: int) -> float:
+        """LR actually applied at this step: the count-based schedule times
+        the plateau multiplier (TrainState.lr_scale), matching what torch
+        would show in param_groups."""
+        lr = float(self.lr_schedule(2 * (cur_step - 1)))
+        if self.state.lr_scale is not None:
+            lr *= float(self.state.lr_scale)
+        return lr
+
     def _profile_tick(self, cur_step: int):
         """Optional jax.profiler capture (SURVEY §5's TPU-rebuild add): set
         config.profile_start_step (and profile_steps, default 5) to write a
@@ -320,14 +329,29 @@ class AbstractEngine:
     def _make_prefetcher(self):
         """Decode-ahead training input pipeline: selection serial (sampler
         determinism), decode on `data.num_workers` threads (default 2; set 1
-        to reproduce the reference's synchronous in-loop decode order)."""
+        to reproduce the reference's synchronous in-loop decode order).
+        On resume, batcher state is fast-forwarded so the data stream
+        continues exactly where an uninterrupted run would be."""
         from unidefense_tpu.data.pipeline import BatchPrefetcher
 
+        if self.start_step > 1:
+            for b in self._batchers():
+                b.fast_forward(self.start_step)
         workers = int(self.data_cfg.get("num_workers", 2) or 1)
         return BatchPrefetcher(
             select=self._select_batch, load=self._load_batch, depth=2,
             num_steps=self.num_steps, start_step=self.start_step, workers=workers,
         )
+
+    def _batchers(self) -> list:
+        """The engine's training InfiniteBatchers (for resume fast-forward)."""
+        if hasattr(self, "batchers"):
+            return list(self.batchers)
+        out = []
+        for name in ("real_batcher", "fake_batcher"):
+            if hasattr(self, name):
+                out.append(getattr(self, name))
+        return out
 
     def assemble_batch(self, images_real, labels_real, images_fake, labels_fake):
         """Global batch with the per-device real-first layout

@@ -167,7 +167,7 @@ class ForgeryEngine(AbstractEngine):
                 iter_acc = train_acc.mean_acc()
                 if self.logger is not None and cur_step % self.log_steps == 0:
                     info = {"train/acc": iter_acc,
-                            "train/lr": float(self.lr_schedule(2 * (cur_step - 1)))}
+                            "train/lr": self._current_lr(cur_step)}
                     info.update({f"train/{k}": m.avg for k, m in trackers.items()})
                     self.logger.log(info, cur_step)
                 self._mprint(
