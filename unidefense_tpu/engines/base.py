@@ -317,13 +317,16 @@ class AbstractEngine:
         if start is None or self.run_dir is None or jax.process_index() != 0:
             return
         start = int(start)
-        n = int(self.config_cfg.get("profile_steps", 5))
-        if cur_step == start:
+        n = max(1, int(self.config_cfg.get("profile_steps", 5)))
+        stop_at = min(start + n, getattr(self, "num_steps", start + n))
+        if cur_step == start and start < stop_at:
             self._trace_dir = os.path.join(self.run_dir, "profile")
             jax.profiler.start_trace(self._trace_dir)
-        elif cur_step == start + n:
+            self._trace_open = True
+        elif getattr(self, "_trace_open", False) and cur_step >= stop_at:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
+            self._trace_open = False
             self._mprint(f"Profiler trace written to {self._trace_dir}")
 
     def _make_prefetcher(self):
