@@ -325,3 +325,108 @@ def test_fast_forward_reproduces_stream(ffpp_root):
         items_a, labels_a = seq_a[s - 1]
         assert items_a == items_b
         assert (labels_a == labels_b).all()
+
+
+class TestCelebDF:
+    @pytest.fixture
+    def cdf_root(self, tmp_path):
+        """Celeb-DF v2 layout: method dirs with per-video PNG frame folders +
+        List_of_testing_videos.txt (dataset/celeb_df.py)."""
+        root = tmp_path / "cdf"
+        vids = {
+            "YouTube-real": ["00000", "00001", "00002"],
+            "Celeb-real": ["id0_0000", "id1_0000"],
+            "Celeb-synthesis": ["id0_id1_0000", "id1_id2_0000"],
+        }
+        for m, vs in vids.items():
+            for v in vs:
+                for f in range(3):
+                    p = root / m / "images" / v / f"{f}.png"
+                    os.makedirs(p.parent, exist_ok=True)
+                    img = (np.random.default_rng(hash((m, v, f)) % 2**31)
+                           .random((20, 20, 3)) * 255).astype(np.uint8)
+                    cv2.imwrite(str(p), img)
+        with open(root / "List_of_testing_videos.txt", "w") as f:
+            f.write("1 YouTube-real/00000.mp4\n")
+            f.write("0 Celeb-synthesis/id0_id1_0000.mp4\n")
+        return str(root)
+
+    def test_split_complement_and_labels(self, cdf_root):
+        from unidefense_tpu.data.datasets import CelebDF
+
+        cfg = {"root": cdf_root, "use_lmdb": False,
+               "method": ["YouTube-real", "Celeb-real", "Celeb-synthesis"],
+               "train_transforms": TRANSFORMS, "test_transforms": TRANSFORMS}
+        test = CelebDF(cfg, "test")
+        # test split: exactly the listed videos (1 real + 1 fake) x 3 frames
+        assert len(test) == 6
+        assert sum(test.targets) == 3
+        train = CelebDF(cfg, "train")
+        # complement: (3+2+2 - 2 listed) videos x 3 frames
+        assert len(train) == 15
+        # no overlap between splits
+        assert not set(train.images) & set(test.images)
+        # label rule: 'real' in path -> 0
+        for p, t in zip(train.images, train.targets):
+            assert t == (0 if "real" in p else 1)
+
+    def test_load_item(self, cdf_root):
+        from unidefense_tpu.data.datasets import CelebDF
+
+        cfg = {"root": cdf_root, "use_lmdb": False, "method": ["Celeb-real"],
+               "train_transforms": TRANSFORMS, "test_transforms": TRANSFORMS}
+        ds = CelebDF(cfg, "train")
+        out = ds.load_item([ds[i][0] for i in range(2)], [0, 0], crop="nocrop")
+        assert out["images"].shape == (2, 32, 32, 3)
+
+
+class TestWildDeepfake:
+    @pytest.fixture
+    def wdf_root(self, tmp_path):
+        """WildDeepfake layout: <root>/<split>/{real,fake}.pickle with
+        split-relative frame paths (dataset/wild_deepfake.py)."""
+        import torch
+
+        root = tmp_path / "wdf"
+        for split in ("train", "test"):
+            for m, n_vids in (("real", 2), ("fake", 3)):
+                items = []
+                for v in range(n_vids):
+                    for f in range(2):
+                        rel = f"{m}_videos/{v:03d}/{f:04d}.png"
+                        p = root / split / rel
+                        os.makedirs(p.parent, exist_ok=True)
+                        img = (np.random.default_rng(hash((split, m, v, f)) % 2**31)
+                               .random((20, 20, 3)) * 255).astype(np.uint8)
+                        cv2.imwrite(str(p), img)
+                        items.append(rel)
+                os.makedirs(root / split, exist_ok=True)
+                torch.save(items, root / split / f"{m}.pickle")
+        return str(root)
+
+    def test_index_and_root_joined_items(self, wdf_root):
+        from unidefense_tpu.data.datasets import WildDeepfake
+
+        cfg = {"root": wdf_root, "use_lmdb": False, "method": ["real", "fake"],
+               "train_transforms": TRANSFORMS, "test_transforms": TRANSFORMS}
+        ds = WildDeepfake(cfg, "train")
+        assert len(ds) == 10  # (2+3) videos x 2 frames
+        assert sum(ds.targets) == 6
+        item0, tgt0 = ds[0]
+        assert item0.startswith(wdf_root)  # __getitem__ joins root/split
+        # loads through the batcher contract used by the engines
+        from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
+
+        b = InfiniteBatcher(ds, EpochSampler(len(ds), 4, shuffle=True),
+                            load_kwargs={"crop": "nocrop"})
+        out = b.next_batch(1)
+        assert out["images"].shape == (4, 32, 32, 3)
+
+    def test_fpv(self, wdf_root):
+        from unidefense_tpu.data.datasets import WildDeepfake
+
+        cfg = {"root": wdf_root, "use_lmdb": False, "method": ["fake"],
+               "train_fpv": 1,
+               "train_transforms": TRANSFORMS, "test_transforms": TRANSFORMS}
+        ds = WildDeepfake(cfg, "train")
+        assert len(ds) == 3  # 3 fake videos x 1 fpv
