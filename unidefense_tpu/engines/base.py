@@ -312,7 +312,10 @@ class AbstractEngine:
         """Optional jax.profiler capture (SURVEY §5's TPU-rebuild add): set
         config.profile_start_step (and profile_steps, default 5) to write a
         device trace for those steps into <run_dir>/profile/. View with
-        tensorboard-profile or xprof."""
+        tensorboard-profile or xprof. Note: device tracing can stall on
+        tunneled/remote TPU runtimes (CLAUDE.md gotcha 10) — verified on CPU
+        and standard TPU runtimes; for tunnel setups use
+        tools/profile_step.py ablations instead."""
         start = self.config_cfg.get("profile_start_step")
         if start is None or self.run_dir is None or jax.process_index() != 0:
             return
