@@ -155,6 +155,14 @@ def bench_engine_e2e(size: int = 380, steps: int = 10, windows: int = 5,
     """Sustained img/s of the FE engine's real input path + train step:
     FrameStore blob read -> JPEG decode -> resize -> 2-thread prefetch ->
     H2D uint8 -> fused device preprocess -> two-pass step."""
+    # the native decoder (gitignored .so) may not be built in a fresh
+    # checkout; build it best-effort so e2e measures the real fast path
+    native_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    if not os.path.exists(os.path.join(native_dir, "libudjpeg.so")):
+        import subprocess
+
+        subprocess.run(["make", "-C", native_dir], capture_output=True, timeout=120)
+
     if not os.path.exists(os.path.join(E2E_STORE, "pickle_files", "train_c23.pickle")):
         _make_store(E2E_STORE, size=size)
 
