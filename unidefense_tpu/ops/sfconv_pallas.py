@@ -21,13 +21,20 @@ Gradients via custom_vjp:
   Hᵀ = −H (odd kernel), Rᵀ = R, and H∘R = −R∘H;
 * dW is four (C×C) einsums over N·H·W (plain XLA; they are MXU-friendly).
 
-Status: OFF by default (UD_SFCONV_PALLAS=1 opts in). Isolated fwd the kernel
-wins up to 1.7× at 32²/C336, but END-TO-END the two-pass UDEB4 step measures
-165.1 img/s with XLA vs 154.5 with the kernel (same-conditions A/B,
-2026-08-16): the custom-VJP dW einsums re-read x/H(x)/g (extra HBM passes
-XLA's AD shares), and pallas_call is a fusion barrier for the surrounding
-cast/pool/blend. Kept (with exactness tests) as the starting point for a
-future kernel that also fuses the dW contractions.
+Status and measured regimes (fwd+bwd per op instance, b20 bf16, v5e):
+
+| shape | XLA | fused kernel (v2: dW in-kernel) |
+|---|---|---|
+| 95²/C192 (UDEB4 @380² group-2) | 6.98 ms | **3.10 ms (2.25×)** |
+| 80²/C192 | 5.01 ms | **3.01 ms (1.67×)** |
+| 64²/C192, 48²/C336, 32²/C336, 24²/C672, 16²/C672, 12²/C960 | wins | loses (M=W fragments the MXU) |
+
+So the kernel is ON by default for W >= 80 only — exactly the flagship's
+380²-training blocks; at 256² nothing qualifies and XLA runs everywhere
+(its batched einsums + fused reversal reads win below the crossover; an
+earlier v1 whose dW ran as separate XLA einsums lost end-to-end even where
+its fwd won, hence the dW contractions are accumulated inside the backward
+kernel across the sequential grid). UD_SFCONV_PALLAS=0 disables.
 """
 
 from __future__ import annotations
@@ -41,8 +48,8 @@ import numpy as np
 
 from unidefense_tpu.ops.sfconv_spatial import _hilbert_row_matrix
 
-_ENABLED = os.environ.get("UD_SFCONV_PALLAS", "0") == "1"
-MIN_WIDTH = 32
+_ENABLED = os.environ.get("UD_SFCONV_PALLAS", "1") != "0"
+MIN_WIDTH = 80  # measured crossover: kernel wins at W >= 80, loses below
 
 
 def pallas_eligible(shape) -> bool:
@@ -132,6 +139,91 @@ def sfconv_freq_pallas(x: jnp.ndarray, w_packed: jnp.ndarray, interpret: bool = 
     return _kernel_call(x, a1, a2, b1, b2, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_kernel_call(x, g, a1t, a2tn, b1t, b2t, interpret=False):
+    """Fused backward: x_bar (same structure as forward on g with the
+    transposed blocks) PLUS the four C×C dW contractions, accumulated across
+    the sequential grid — so x and g are each read once instead of feeding
+    separate XLA einsum passes (the measured reason v1 lost end-to-end).
+
+    Per cell (n, h):
+      x_bar[n,h] = g_h@A1ᵀ + (hm@g_h)@A2ᵀ + Pw@(g_m@B1ᵀ + (hm@g_m)@B2ᵀ)
+      A1_bar += x_hᵀ g_h          A2_bar += −(hm@x_h)ᵀ g_h
+      B1_bar += (Pw@x_m)ᵀ g_h     B2_bar += (Pw@(hm@x_m))ᵀ g_h
+    (a2tn is already −A2ᵀ so the x_bar line is the forward kernel's form.)"""
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    dt = x.dtype
+    hm = jnp.asarray(_hilbert_row_matrix(w), dt)
+    pw = jnp.asarray(_perm_matrix(w), dt)
+    a1t, a2tn, b1t, b2t = (m.astype(dt) for m in (a1t, a2tn, b1t, b2t))
+    f32 = jnp.float32
+
+    def kernel(gh_ref, gm_ref, xh_ref, xm_ref, hm_ref, pw_ref,
+               a1t_ref, a2tn_ref, b1t_ref, b2t_ref,
+               xbar_ref, a1b_ref, a2b_ref, b1b_ref, b2b_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            a1b_ref[...] = jnp.zeros_like(a1b_ref)
+            a2b_ref[...] = jnp.zeros_like(a2b_ref)
+            b1b_ref[...] = jnp.zeros_like(b1b_ref)
+            b2b_ref[...] = jnp.zeros_like(b2b_ref)
+
+        gh = gh_ref[0, 0]
+        gm = gm_ref[0, 0]
+        xh = xh_ref[0, 0]
+        xm = xm_ref[0, 0]
+        hmm = hm_ref[...]
+        pww = pw_ref[...]
+
+        # x_bar row (forward structure on g with transposed blocks)
+        hgh = jnp.dot(hmm, gh, preferred_element_type=f32).astype(dt)
+        hgm = jnp.dot(hmm, gm, preferred_element_type=f32).astype(dt)
+        core = (jnp.dot(gh, a1t_ref[...], preferred_element_type=f32)
+                - jnp.dot(hgh, a2tn_ref[...], preferred_element_type=f32))
+        mir = (jnp.dot(gm, b1t_ref[...], preferred_element_type=f32)
+               + jnp.dot(hgm, b2t_ref[...], preferred_element_type=f32)).astype(dt)
+        xbar_ref[0, 0] = (core + jnp.dot(pww, mir, preferred_element_type=f32)
+                          ).astype(xbar_ref.dtype)
+
+        # dW accumulation
+        hxh = jnp.dot(hmm, xh, preferred_element_type=f32).astype(dt)
+        rx = jnp.dot(pww, xm, preferred_element_type=f32).astype(dt)
+        rhx = jnp.dot(
+            pww, jnp.dot(hmm, xm, preferred_element_type=f32).astype(dt),
+            preferred_element_type=f32,
+        ).astype(dt)
+        a1b_ref[...] += jnp.dot(xh.T, gh, preferred_element_type=f32)
+        a2b_ref[...] += -jnp.dot(hxh.T, gh, preferred_element_type=f32)
+        b1b_ref[...] += jnp.dot(rx.T, gh, preferred_element_type=f32)
+        b2b_ref[...] += jnp.dot(rhx.T, gh, preferred_element_type=f32)
+
+    row = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0))
+    mirror = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, (h - j) % h, 0, 0))
+    wmat = pl.BlockSpec((w, w), lambda i, j: (0, 0))
+    cmat = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    acc = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    xbar, a1b, a2b, b1b, b2b = pl.pallas_call(
+        kernel,
+        grid=(n, h),
+        in_specs=[row, mirror, row, mirror, wmat, wmat, cmat, cmat, cmat, cmat],
+        out_specs=[row, acc, acc, acc, acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+        ],
+        interpret=interpret,
+    )(g, g, x, x, hm, pw, a1t, a2tn, b1t, b2t)
+    return xbar, a1b, a2b, b1b, b2b
+
+
 def _fwd(x, w_packed, interpret):
     return sfconv_freq_pallas(x, w_packed, interpret), (x, w_packed)
 
@@ -140,20 +232,9 @@ def _bwd(interpret, res, g):
     x, w_packed = res
     c = x.shape[-1]
     a1, a2, b1, b2 = _split_blocks(w_packed, c)
-    # dx: same kernel, transposed blocks with the sign flip on A2
-    x_bar = _kernel_call(g, a1.T, -a2.T, b1.T, b2.T, interpret=interpret)
-
-    # dW: four C×C contractions over N,H,W (f32 accumulation)
-    hm = jnp.asarray(_hilbert_row_matrix(x.shape[2]), x.dtype)
-    hx = jnp.einsum("dv,nhvc->nhdc", hm, x)
-    rx = jnp.roll(x[:, ::-1, ::-1, :], (1, 1), axis=(1, 2))
-    rhx = jnp.roll(hx[:, ::-1, ::-1, :], (1, 1), axis=(1, 2))
-    dot = functools.partial(jnp.einsum, "nhwc,nhwd->cd",
-                            preferred_element_type=jnp.float32)
-    a1_bar = dot(x, g)
-    a2_bar = -dot(hx, g)
-    b1_bar = dot(rx, g)
-    b2_bar = dot(rhx, g)  # −H(R(x)) = +R(H(x))
+    x_bar, a1_bar, a2_bar, b1_bar, b2_bar = _bwd_kernel_call(
+        x, g, a1.T, -a2.T, b1.T, b2.T, interpret=interpret
+    )
     wrr_bar = (a1_bar + b1_bar) * 0.5
     wii_bar = (a1_bar - b1_bar) * 0.5
     wri_bar = (a2_bar + b2_bar) * 0.5
