@@ -28,7 +28,7 @@ import cv2
 import numpy as np
 
 from unidefense_tpu.data.store import open_blob_source
-from unidefense_tpu.data.transforms import build_transforms
+from unidefense_tpu.data.transforms import LockedRNG, build_transforms
 
 
 def _load_index(path):
@@ -53,7 +53,8 @@ class AbstractDataset:
         self.use_lmdb = cfg.get("use_lmdb", True)
         self.images: list = []
         self.targets: list = []
-        self.rng = np.random.default_rng(seed)
+        # locked: load_item (margin draw) runs on prefetch worker threads
+        self.rng = LockedRNG(seed)
         self.categories = ["real", "fake"]
 
         self._blob = None
@@ -131,14 +132,24 @@ class AbstractDataset:
             raise IOError(f"Failed to decode {img_path}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
+    def _resolve_margin(self, margin):
+        """Draw ONE random margin per load_item batch. The reference draws on
+        the first 4p item and then REBINDS the tuple argument to that float,
+        so every later item in the same call reuses it
+        (abstract_dataset.py:126-135: `margin = random_mgn / 10.0`). load_item
+        resolves the tuple up front to replicate that batch granularity;
+        pinned by tests/test_pipeline.py::test_margin_drawn_once_per_batch."""
+        if margin is None or isinstance(margin, float):
+            return margin
+        lo, hi = int(margin[0] * 10), int(margin[1] * 10)
+        return int(self.rng.integers(lo, hi)) / 10.0
+
     def _box_for(self, contents, margin, crop):
-        """(x1, y1, x2, y2) crop rectangle; (-1,)*4 = full frame. Random margin
-        drawn per item (abstract_dataset.py:129-139)."""
+        """(x1, y1, x2, y2) crop rectangle; (-1,)*4 = full frame."""
         if crop == "4p":
             x, y, w, h = (int(v) for v in contents[2:6])
             if not isinstance(margin, float):
-                lo, hi = int(margin[0] * 10), int(margin[1] * 10)
-                margin = int(self.rng.integers(lo, hi)) / 10.0
+                margin = self._resolve_margin(margin)
             x1, x2, y1, y2 = self._add_face_margin(x, y, w, h, margin)
             return (x1, y1, x2, y2)
         if crop == "nocrop":
@@ -164,6 +175,8 @@ class AbstractDataset:
             paths.append(contents[0])
             contents_list.append(contents)
 
+        if crop == "4p":
+            margin = self._resolve_margin(margin)  # one draw per batch
         plain_host = self.host_tf.is_plain_resize
         if get_lib() is not None and plain_host:
             blobs = [self._read_blob(p) for p in paths]
@@ -358,7 +371,7 @@ class UniAttack(AbstractDataset):
         self.root = cfg["root"]
         self.use_lmdb = True
         self.images, self.targets = [], []
-        self.rng = np.random.default_rng(seed)
+        self.rng = LockedRNG(seed)
         self.categories = ["original", "fake"]
 
         self.roots = {k: cfg.get(f"{k}_root") for k in self.SUBSETS}
@@ -408,14 +421,6 @@ class UniAttack(AbstractDataset):
             out = img_path.replace(".jpg", f"_{feature}.jpg")
         return out.replace(".jpg", f".{postfix}")
 
-    def _read_image(self, img_path: str, crop: str) -> np.ndarray:
-        key = self._convert_to_str(img_path, "crop") if crop == "nocrop" else img_path
-        buf = self._blobs[self._subset_of(img_path)].get(key)
-        if buf is None:
-            raise KeyError(f"Blob missing for key {key}")
-        img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-
     def _read_blob_ua(self, img_path: str, crop: str) -> bytes:
         key = self._convert_to_str(img_path, "crop") if crop == "nocrop" else img_path
         buf = self._blobs[self._subset_of(img_path)].get(key)
@@ -439,6 +444,8 @@ class UniAttack(AbstractDataset):
             # (dataset/uniattack.py:226-228)
             eff_crops.append("nocrop" if sub in ("FFpp", "CDF") else crop)
 
+        if any(ec == "4p" for ec in eff_crops):
+            margin = self._resolve_margin(margin)  # one draw per batch
         plain_host = self.host_tf.is_plain_resize
         if get_lib() is not None and plain_host:
             blobs = [self._read_blob_ua(p, crop) for p in paths]

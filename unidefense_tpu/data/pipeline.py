@@ -33,6 +33,7 @@ class EpochSampler:
         batch_size: int,
         shuffle: bool = True,
         drop_last: bool = False,
+        pad_last: bool = False,
         shard_id: int = 0,
         num_shards: int = 1,
         seed: int = 0,
@@ -41,6 +42,14 @@ class EpochSampler:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # pad_last: wrap the short final chunk around to the start of the
+        # shard so EVERY yielded chunk is exactly batch_size. The jitted train
+        # step bakes the real/fake split boundary as a static int — a short
+        # batch would both retrace (minutes on this backend) and silently
+        # mis-split real/fake groups. The reference tolerates short batches
+        # because its split is dynamic (engine/abstract_engine.py:241-253);
+        # here FE pads instead (every sample still seen once per epoch).
+        self.pad_last = pad_last
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.seed = seed
@@ -72,6 +81,12 @@ class EpochSampler:
             chunk = shard[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) == 0:
                 return
+            if self.pad_last and len(chunk) < self.batch_size:
+                # wrap-around pad from this epoch's shuffled order (np.resize
+                # cycles, so shards smaller than a batch also fill up)
+                chunk = np.concatenate(
+                    [chunk, np.resize(shard, self.batch_size - len(chunk))]
+                )
             yield chunk
 
 

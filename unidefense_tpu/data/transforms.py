@@ -21,6 +21,7 @@ RandomBrightnessContrast, ColorJitter, OneOf.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -32,6 +33,39 @@ import numpy as np
 from unidefense_tpu.ops.perturb import _gaussian_kernel_1d
 
 _RGB_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)  # ITU-R 601 luma
+
+
+class LockedRNG:
+    """Mutex-serialized np.random.Generator proxy.
+
+    BatchPrefetcher (workers>1) and the eval lookahead pool call load_item —
+    and through it RandomResizedCrop / jpeg / distorted-OneOf draws — from
+    several threads at once, but numpy bit generators are NOT thread-safe:
+    concurrent draws can duplicate values or corrupt generator state. Every
+    draw here holds a lock, so the stream stays valid under concurrency and
+    bit-identical to the bare Generator when single-threaded (workers=1
+    remains the fully deterministic mode; with workers>1 only the ORDER of
+    draws is scheduling-dependent, which the prefetcher docstring documents).
+    """
+
+    def __init__(self, gen_or_seed=2022):
+        self._gen = (
+            gen_or_seed
+            if isinstance(gen_or_seed, np.random.Generator)
+            else np.random.default_rng(gen_or_seed)
+        )
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        fn = getattr(self._gen, name)
+        if not callable(fn):
+            return fn
+
+        def locked(*args, **kwargs):
+            with self._lock:
+                return fn(*args, **kwargs)
+
+        return locked
 
 
 @dataclass
@@ -137,7 +171,7 @@ class HostPipeline:
     rrc_ratio: tuple = (0.75, 4.0 / 3.0)
     rrc_p: float = 1.0
     interpolation: int = cv2.INTER_LINEAR
-    rng: np.random.Generator = field(default_factory=lambda: np.random.default_rng(2022))
+    rng: Any = field(default_factory=lambda: LockedRNG(2022))
 
     @property
     def is_plain_resize(self) -> bool:

@@ -47,6 +47,10 @@ from unidefense_tpu.utils.metrics import merge_video_dicts
 
 class AbstractEngine:
     engine_name = "Abstract"
+    # direction of the metric this engine feeds ReduceLROnPlateau
+    # (torch default is 'min'; engines whose selection metric is
+    # higher-is-better override with 'max')
+    plateau_default_mode = "min"
 
     def __init__(self, config: dict, stage: str = "Train"):
         if stage not in ("Train", "Test"):
@@ -182,9 +186,11 @@ class AbstractEngine:
         return self.model
 
     def _build_training(self, sample_shape, sum_real: int, sum_fake: int,
-                        num_steps: int, device_tf=None):
+                        num_steps: int, device_tf=None, train: bool = True):
         """Construct state + jitted train/eval steps. sum_real/sum_fake are
-        PER-DEVICE counts (the reference's per-rank batch halves)."""
+        PER-DEVICE counts (the reference's per-rank batch halves).
+        train=False (Test stage) skips tracing the train step — only the eval
+        step is ever called there, and a stray trace costs compile minutes."""
         model = self._build_model()
         params_shapes = jax.eval_shape(
             lambda: model.init(
@@ -197,8 +203,13 @@ class AbstractEngine:
         from unidefense_tpu.train.optim import build_plateau
 
         # metric-fed LR decay (scheduler name ReduceLROnPlateau); engines feed
-        # their best-model selection metric each validation
-        self.plateau = build_plateau(self.config_cfg)
+        # their best-model selection metric each validation. The default mode
+        # follows the metric's direction per engine (FE/OCIM feed
+        # higher-is-better AUC composites -> 'max'; UE feeds ACER -> 'min');
+        # an explicit scheduler.mode in the YAML still wins.
+        self.plateau = build_plateau(
+            self.config_cfg, default_mode=self.plateau_default_mode
+        )
         sample_x = jnp.zeros(sample_shape, jnp.float32)
         self.state = create_train_state(model, self.tx, self.base_rng, sample_x)
         if self.plateau is not None:
@@ -223,27 +234,32 @@ class AbstractEngine:
             self._mprint(f"WARNING: extractor_weights '{weights_path}' not found; "
                          "training from scratch.")
 
-        step_fn = make_train_step(
-            model,
-            self.tx,
-            self.config_cfg,
-            num_steps=num_steps,
-            sum_real=sum_real,
-            sum_fake=sum_fake,
-            faithful_grad_accumulation=bool(
-                self.config_cfg.get("faithful_grad_accumulation", True)
-            ),
-            freq_norm=self.model_cfg.get("freq_norm", "ortho"),
-            axis_name=DATA_AXIS if self.multi_device else None,
-            preprocess=device_tf,
-        )
         eval_fn = make_eval_step(model, preprocess=device_tf)
-        if self.multi_device:
-            self.train_step = shard_train_step(step_fn, self.mesh)
-            self.eval_step = shard_eval_step(eval_fn, self.mesh)
-        else:
-            self.train_step = jax.jit(step_fn, donate_argnums=0)
-            self.eval_step = jax.jit(eval_fn)
+        if train:
+            step_fn = make_train_step(
+                model,
+                self.tx,
+                self.config_cfg,
+                num_steps=num_steps,
+                sum_real=sum_real,
+                sum_fake=sum_fake,
+                faithful_grad_accumulation=bool(
+                    self.config_cfg.get("faithful_grad_accumulation", True)
+                ),
+                freq_norm=self.model_cfg.get("freq_norm", "ortho"),
+                axis_name=DATA_AXIS if self.multi_device else None,
+                preprocess=device_tf,
+            )
+            self.train_step = (
+                shard_train_step(step_fn, self.mesh)
+                if self.multi_device
+                else jax.jit(step_fn, donate_argnums=0)
+            )
+        self.eval_step = (
+            shard_eval_step(eval_fn, self.mesh)
+            if self.multi_device
+            else jax.jit(eval_fn)
+        )
         return model
 
     def _maybe_resume(self):

@@ -19,7 +19,7 @@ from unidefense_tpu.config import load_dataset_config
 from unidefense_tpu.data.datasets import UniAttack
 from unidefense_tpu.data.pipeline import EpochSampler, InfiniteBatcher
 from unidefense_tpu.engines.base import AbstractEngine
-from unidefense_tpu.utils.meters import AccMeter, AverageMeter, Timer
+from unidefense_tpu.utils.meters import DeviceMetricAccumulator, Timer
 from unidefense_tpu.utils.metrics import cal_metrics
 
 
@@ -111,7 +111,7 @@ class UniAttackEngine(AbstractEngine):
         h, w = self.test_set.host_tf.height, self.test_set.host_tf.width
         self._build_training(
             (self.test_batch_size, h, w, 3), sum_real=1, sum_fake=1, num_steps=1,
-            device_tf=self.test_set.device_tf,
+            device_tf=self.test_set.device_tf, train=False,
         )
         from unidefense_tpu.checkpoint import CheckpointManager
 
@@ -151,8 +151,10 @@ class UniAttackEngine(AbstractEngine):
 
     def train(self):
         timer = Timer()
-        train_acc = AccMeter()
-        trackers: dict[str, AverageMeter] = {}
+        # every-step metric/acc accumulation on device (reference updates its
+        # meters each step, engine/forgery_engine.py:285-297; host fetch only
+        # at log boundaries)
+        train_meter = DeviceMetricAccumulator()
         prefetch = self._make_prefetcher()
         rng = jax.random.fold_in(self.base_rng, 99999)
 
@@ -163,16 +165,15 @@ class UniAttackEngine(AbstractEngine):
             self.state, metrics, cls_out = self.train_step(
                 self.state, batch, jax.random.fold_in(rng, cur_step)
             )
+            train_meter.update(metrics, cls_out, batch["label"])
             if cur_step % self.log_steps == 0 or cur_step % self.val_steps == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
-                for k, v in host_metrics.items():
-                    trackers.setdefault(k, AverageMeter()).update(v)
-                train_acc.update(np.asarray(cls_out), np.asarray(batch["label"]))
-                iter_acc = train_acc.mean_acc()
+                snap = train_meter.snapshot()
+                iter_acc = snap["acc"]
                 if self.logger is not None and cur_step % self.log_steps == 0:
                     info = {"train/acc": iter_acc,
                             "train/lr": self._current_lr(cur_step)}
-                    info.update({f"train/{k}": m.avg for k, m in trackers.items()})
+                    info.update({f"train/{k}": v for k, v in snap["means"].items()})
                     self.logger.log(info, cur_step)
                 self._mprint(
                     "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, Spat %.4f, Freq %.4f, ACC %.4f"

@@ -103,7 +103,16 @@ def split_device_batch(images_real, labels_real, images_fake, labels_fake, num_d
     Inputs are the full real and fake batches (numpy, leading axis divisible
     by num_devices). Returns (images, labels) with layout
     [d0-real, d0-fake, d1-real, d1-fake, ...].
+
+    Raises on non-divisible batches: silently truncating would desynchronize
+    the per-device real-first split the triplet loss depends on (samplers
+    guarantee full batches via drop_last/pad_last upstream).
     """
+    if images_real.shape[0] % num_devices or images_fake.shape[0] % num_devices:
+        raise ValueError(
+            f"real batch {images_real.shape[0]} / fake batch "
+            f"{images_fake.shape[0]} not divisible by {num_devices} devices"
+        )
     nr = images_real.shape[0] // num_devices
     nf = images_fake.shape[0] // num_devices
     imgs, lbls = [], []

@@ -248,9 +248,14 @@ class ReduceLROnPlateau:
         return self.lr / self.base_lr
 
 
-def build_plateau(config_cfg: dict) -> Optional[ReduceLROnPlateau]:
+def build_plateau(config_cfg: dict, default_mode: str = "min") -> Optional[ReduceLROnPlateau]:
     """ReduceLROnPlateau instance when the scheduler YAML asks for it
-    (scheduler/__init__.py:29), else None."""
+    (scheduler/__init__.py:29), else None.
+
+    default_mode: metric direction used when the YAML omits `mode` — the
+    engines pass the direction of the metric they actually feed ('max' for
+    FE/OCIM AUC composites, 'min' for UE ACER), since torch's 'min' default
+    would silently treat every improvement as a plateau."""
     sched = dict(config_cfg.get("scheduler") or {})
     if sched.pop("name", None) != "ReduceLROnPlateau":
         return None
@@ -258,6 +263,7 @@ def build_plateau(config_cfg: dict) -> Optional[ReduceLROnPlateau]:
     known = {"mode", "factor", "patience", "threshold", "threshold_mode",
              "cooldown", "min_lr", "eps"}
     kwargs = {k: v for k, v in sched.items() if k in known}
+    kwargs.setdefault("mode", default_mode)
     return ReduceLROnPlateau(base_lr, **kwargs)
 
 

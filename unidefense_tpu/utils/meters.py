@@ -124,3 +124,64 @@ class Logger:
 
 def center_print(content, around="*", repeat_around=10):
     print(repeat_around * around + f" {content} " + repeat_around * around)
+
+
+class DeviceMetricAccumulator:
+    """Every-step train metric averages WITHOUT per-step host syncs.
+
+    The reference updates its AverageMeters/AccMeter on every training step
+    (engine/forgery_engine.py:285-297); fetching the jitted step's metric
+    scalars to host each step would cost a device round-trip per step
+    (CLAUDE.md gotcha 3), so this keeps the running sums — one scalar per
+    metric plus classification correct/total — ON DEVICE, adding them with a
+    single tiny jitted call per step (dispatched asynchronously alongside the
+    train step). `snapshot()` fetches everything in one transfer at log
+    boundaries. Accuracy follows AccMeter semantics (argmax, or
+    sigmoid >= 0.5 for 1-logit heads)."""
+
+    def __init__(self):
+        self._state = None
+        self._update = None
+
+    def update(self, metrics: dict, cls_out, labels):
+        import jax
+        import jax.numpy as jnp
+
+        if self._update is None:
+            def _upd(state, metrics, cls_out, labels):
+                metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+                if cls_out.shape[-1] == 1:
+                    pred = (jax.nn.sigmoid(cls_out[:, 0]) >= 0.5).astype(labels.dtype)
+                else:
+                    pred = jnp.argmax(cls_out, -1).astype(labels.dtype)
+                correct = jnp.sum((pred == labels).astype(jnp.float32))
+                return {
+                    "sums": {k: state["sums"][k] + v for k, v in metrics.items()},
+                    "count": state["count"] + 1.0,
+                    "correct": state["correct"] + correct,
+                    "total": state["total"] + jnp.float32(labels.shape[0]),
+                }
+
+            self._update = jax.jit(_upd)  # scalar state: donation not worth it
+            self._state = {
+                "sums": {k: jnp.zeros((), jnp.float32) for k in metrics},
+                "count": jnp.zeros((), jnp.float32),
+                "correct": jnp.zeros((), jnp.float32),
+                "total": jnp.zeros((), jnp.float32),
+            }
+        self._state = self._update(self._state, metrics, cls_out, labels)
+
+    def snapshot(self) -> dict:
+        """One host fetch: {'means': per-metric running means, 'acc': running
+        accuracy, 'count': steps accumulated}."""
+        if self._state is None:
+            return {"means": {}, "acc": 0.0, "count": 0}
+        import jax
+
+        host = jax.device_get(self._state)
+        n = max(float(host["count"]), 1.0)
+        return {
+            "means": {k: float(v) / n for k, v in host["sums"].items()},
+            "acc": float(host["correct"]) / max(float(host["total"]), 1.0),
+            "count": int(host["count"]),
+        }
