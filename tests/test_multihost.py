@@ -90,3 +90,116 @@ def test_two_process_allgather():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK {pid}" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-3 (VERDICT r2 item 6): the sharded TWO-PASS TRAIN STEP itself across
+# two real processes — 2 procs x 4 virtual CPU devices = one 8-device 'data'
+# mesh spanning processes; one step on a deterministic global batch; params
+# allgathered and asserted bitwise identical (the seam replacing the whole
+# DDP training loop, engine/forgery_engine.py:51-145).
+
+CHILD_TRAIN = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+jax.distributed.initialize(
+    coordinator_address=os.environ["UD_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["UD_PID"]),
+)
+sys.path.insert(0, os.environ["UD_REPO"])
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.helpers import OPT_CFG, MiniUniDefense, tiny_batch
+from unidefense_tpu.parallel.mesh import (
+    DATA_AXIS, all_gather_objects, create_mesh, shard_train_step,
+)
+from unidefense_tpu.train.optim import build_optimizer
+from unidefense_tpu.train.step import create_train_state, make_train_step
+
+pid = jax.process_index()
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8, len(jax.devices())   # 4 local x 2 procs
+
+mesh = create_mesh()  # all 8 global devices on axis 'data'
+rng = jax.random.PRNGKey(0)
+x, labels = tiny_batch()  # per-device local batch: 2 real + 2 fake
+
+model = MiniUniDefense(axis_name=DATA_AXIS)
+shapes = jax.eval_shape(
+    lambda: model.init({"params": rng, "dropout": rng}, x, train=False)
+)
+tx, _ = build_optimizer(OPT_CFG, shapes["params"])
+state = create_train_state(model, tx, rng, x)  # identical on both processes
+
+step = shard_train_step(
+    make_train_step(model, tx, OPT_CFG, num_steps=50, sum_real=2, sum_fake=2,
+                    axis_name=DATA_AXIS),
+    mesh,
+)
+
+# deterministic global batch, identical on both processes; device_put slices
+# each process's addressable shards out of it
+gx = np.concatenate([np.asarray(x)] * 8, axis=0)
+gl = np.concatenate([np.asarray(labels)] * 8, axis=0)
+batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+replicated = NamedSharding(mesh, P())
+batch = {
+    "image": jax.device_put(gx, batch_sharding),
+    "label": jax.device_put(gl, batch_sharding),
+}
+state = jax.device_put(state, replicated)
+rng_in = jax.device_put(rng, replicated)
+
+new_state, metrics, cls_out = step(state, batch, rng_in)
+loss = float(metrics["total_loss"])
+assert np.isfinite(loss), loss
+assert int(new_state.step) == 1
+
+# params are replicated -> fully addressable; hash every leaf and compare
+# across processes bitwise
+import hashlib
+leaves = jax.tree.leaves(jax.device_get(new_state.params))
+digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)).hexdigest()
+got = all_gather_objects(digest, loss)
+assert len(got) == 2
+assert got[0][0] == got[1][0], ("param divergence across processes", got)
+assert abs(got[0][1] - got[1][1]) < 1e-12
+print("MULTIHOST_TRAIN_OK", pid, flush=True)
+"""
+
+
+def test_two_process_sharded_train_step():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            UD_COORD=f"127.0.0.1:{port}",
+            UD_PID=str(pid),
+            UD_REPO=REPO,
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, "-c", CHILD_TRAIN], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True)
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_TRAIN_OK {pid}" in out
