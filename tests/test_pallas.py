@@ -88,3 +88,56 @@ class TestSFConvPallas:
         # CPU backend in tests -> never eligible (kernel still unit-tested
         # through interpret mode above)
         assert not pallas_eligible((2, 64, 64, 192))
+
+
+class TestSFConvPallasV3:
+    """Row-tiled v3 kernel (small-W regime) vs the exact spatial closed form
+    — forward and both grads, interpret mode on CPU (TPU runs the same
+    kernel)."""
+
+    def _pair(self, n, h, w, c, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        wp = jnp.asarray(rng.normal(size=(2 * c, 2 * c)).astype(np.float32))
+        return x, wp
+
+    def test_forward_matches_spatial_form(self):
+        from unidefense_tpu.ops.sfconv_pallas import sfconv_freq_pallas_v3
+        from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+        for shape in [(2, 8, 8, 6), (1, 12, 8, 4), (2, 6, 10, 6), (2, 9, 4, 4)]:
+            x, wp = self._pair(*shape)
+            ref = sfconv_freq_spatial(x, wp)
+            out = sfconv_freq_pallas_v3(x, wp, True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_grads_match_spatial_form(self):
+        import jax
+
+        from unidefense_tpu.ops.sfconv_pallas import sfconv_freq_pallas_v3
+        from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+        x, wp = self._pair(2, 8, 8, 6)
+        cot = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 8, 8, 6)).astype(np.float32))
+
+        def f_ref(x, wp):
+            return jnp.sum(sfconv_freq_spatial(x, wp) * cot)
+
+        def f_pal(x, wp):
+            return jnp.sum(sfconv_freq_pallas_v3(x, wp, True) * cot)
+
+        gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, wp)
+        gx_p, gw_p = jax.grad(f_pal, argnums=(0, 1))(x, wp)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_row_tile_divides(self):
+        from unidefense_tpu.ops.sfconv_pallas import _row_tile
+
+        for h, w in [(48, 48), (24, 24), (95, 95), (12, 12), (16, 16), (7, 3)]:
+            r = _row_tile(h, w)
+            assert h % r == 0 and r * w <= 512 or r == 1

@@ -244,3 +244,211 @@ def _bwd(interpret, res, g):
 
 
 sfconv_freq_pallas.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------- v3
+# Row-tiled kernel for SMALL widths (the 256² shapes, VERDICT r2 item 3).
+#
+# v2's grid is (N, H) with per-cell (W, C) matmuls — M = W fragments the
+# 128-row MXU below W≈80. v3 tiles R rows per grid cell so every core matmul
+# has M = R·W (R = largest divisor of H with R·W ≤ 512):
+#
+#   out_cell = xs@A1 − (Hb xs)@A2 + rs@B1 − (Hb rs)@B2
+#
+# with xs the (R·W, C) row-stack, rs the same rows of the PRECOMPUTED double
+# reversal rx[n,h,w] = x[n, −h mod H, −w mod W] (one fused XLA
+# reverse-and-roll in the prologue — v2's mirror-row double-binding cannot be
+# R-row block-aligned because row 0 is its own mirror), and Hb = I_R ⊗ hm the
+# block-diagonal per-row Hilbert (R× the FLOPs of per-row hm but one dense
+# MXU-tiled matmul; the op is HBM-bound so idle-lane FLOPs are free).
+#
+# Identity used to push the width reversal onto the input (Pw@hm = −hm@Pw for
+# the odd circular Hilbert kernel): Pw@(xm@B1 + (hm@xm)@B2) = rx@B1 −
+# (hm@rx)@B2, which is exactly the spatial closed form's x̃ terms.
+#
+# Backward: x_bar has the SAME structure on g with blocks (A1ᵀ, −A2ᵀ, B1ᵀ,
+# B2ᵀ) (Hᵀ = −H, Rᵀ = R, H∘R = −R∘H), and the four C×C dW contractions are
+# accumulated in-kernel across the sequential grid like v2.
+
+
+@functools.lru_cache(maxsize=None)
+def _row_tile(h: int, w: int, target: int = 512) -> int:
+    """Largest divisor R of h with R·w <= target (always >= 1)."""
+    best = 1
+    for r in range(1, h + 1):
+        if h % r == 0 and r * w <= target:
+            best = r
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _hilbert_block_matrix(w: int, r: int) -> np.ndarray:
+    """I_R ⊗ hm — per-row circular Hilbert on an (R·W, C) row-stack."""
+    return np.kron(np.eye(r, dtype=np.float32), _hilbert_row_matrix(w))
+
+
+def _double_reversal(x: jnp.ndarray) -> jnp.ndarray:
+    """rx[n, h, w] = x[n, (−h) mod H, (−w) mod W] (one fused XLA pass)."""
+    return jnp.roll(x[:, ::-1, ::-1, :], (1, 1), axis=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_call_v3(x, rx, a1, a2, b1, b2, interpret=False):
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    dt = x.dtype
+    r = _row_tile(h, w)
+    hmb = jnp.asarray(_hilbert_block_matrix(w, r), dt)
+    a1, a2, b1, b2 = (m.astype(dt) for m in (a1, a2, b1, b2))
+    f32 = jnp.float32
+
+    def kernel(x_ref, rx_ref, hm_ref, a1_ref, a2_ref, b1_ref, b2_ref, out_ref):
+        xs = x_ref[0].reshape(r * w, c)
+        rs = rx_ref[0].reshape(r * w, c)
+        hmm = hm_ref[...]
+        hx = jnp.dot(hmm, xs, preferred_element_type=f32).astype(dt)
+        hr = jnp.dot(hmm, rs, preferred_element_type=f32).astype(dt)
+        out = (
+            jnp.dot(xs, a1_ref[...], preferred_element_type=f32)
+            - jnp.dot(hx, a2_ref[...], preferred_element_type=f32)
+            + jnp.dot(rs, b1_ref[...], preferred_element_type=f32)
+            - jnp.dot(hr, b2_ref[...], preferred_element_type=f32)
+        )
+        out_ref[0] = out.reshape(r, w, c).astype(out_ref.dtype)
+
+    blk = pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0))
+    wmat = pl.BlockSpec((r * w, r * w), lambda i, j: (0, 0))
+    cmat = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // r),
+        in_specs=[blk, blk, wmat, cmat, cmat, cmat, cmat],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
+        interpret=interpret,
+    )(x, rx, hmb, a1, a2, b1, b2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_kernel_call_v3(x, rx, g, rg, a1t, a2tn, b1t, b2t, interpret=False):
+    """Fused v3 backward. Per cell (row-stacks xs, rs, gs, gr):
+      x_bar = gs@A1ᵀ + (Hb gs)@A2ᵀ + gr@B1ᵀ − (Hb gr)@B2ᵀ
+              (= forward form with (a1t, a2tn=−A2ᵀ, b1t, b2t))
+      A1_bar += xsᵀ gs      A2_bar += −(Hb xs)ᵀ gs
+      B1_bar += rsᵀ gs      B2_bar += −(Hb rs)ᵀ gs
+    matching v2's accumulation identities (rx = Pw@xm, −H(rx) = Pw@hm@xm)."""
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    dt = x.dtype
+    r = _row_tile(h, w)
+    hmb = jnp.asarray(_hilbert_block_matrix(w, r), dt)
+    a1t, a2tn, b1t, b2t = (m.astype(dt) for m in (a1t, a2tn, b1t, b2t))
+    f32 = jnp.float32
+
+    def kernel(g_ref, rg_ref, x_ref, rx_ref, hm_ref,
+               a1t_ref, a2tn_ref, b1t_ref, b2t_ref,
+               xbar_ref, a1b_ref, a2b_ref, b1b_ref, b2b_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            a1b_ref[...] = jnp.zeros_like(a1b_ref)
+            a2b_ref[...] = jnp.zeros_like(a2b_ref)
+            b1b_ref[...] = jnp.zeros_like(b1b_ref)
+            b2b_ref[...] = jnp.zeros_like(b2b_ref)
+
+        gs = g_ref[0].reshape(r * w, c)
+        gr = rg_ref[0].reshape(r * w, c)
+        xs = x_ref[0].reshape(r * w, c)
+        rs = rx_ref[0].reshape(r * w, c)
+        hmm = hm_ref[...]
+
+        hg = jnp.dot(hmm, gs, preferred_element_type=f32).astype(dt)
+        hgr = jnp.dot(hmm, gr, preferred_element_type=f32).astype(dt)
+        xbar = (
+            jnp.dot(gs, a1t_ref[...], preferred_element_type=f32)
+            - jnp.dot(hg, a2tn_ref[...], preferred_element_type=f32)
+            + jnp.dot(gr, b1t_ref[...], preferred_element_type=f32)
+            - jnp.dot(hgr, b2t_ref[...], preferred_element_type=f32)
+        )
+        xbar_ref[0] = xbar.reshape(r, w, c).astype(xbar_ref.dtype)
+
+        hx = jnp.dot(hmm, xs, preferred_element_type=f32).astype(dt)
+        hr = jnp.dot(hmm, rs, preferred_element_type=f32).astype(dt)
+        a1b_ref[...] += jnp.dot(xs.T, gs, preferred_element_type=f32)
+        a2b_ref[...] += -jnp.dot(hx.T, gs, preferred_element_type=f32)
+        b1b_ref[...] += jnp.dot(rs.T, gs, preferred_element_type=f32)
+        b2b_ref[...] += -jnp.dot(hr.T, gs, preferred_element_type=f32)
+
+    blk = pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0))
+    wmat = pl.BlockSpec((r * w, r * w), lambda i, j: (0, 0))
+    cmat = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    acc = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // r),
+        in_specs=[blk, blk, blk, blk, wmat, cmat, cmat, cmat, cmat],
+        out_specs=[blk, acc, acc, acc, acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+        ],
+        interpret=interpret,
+    )(g, rg, x, rx, hmb, a1t, a2tn, b1t, b2t)
+
+
+def _v3_vmem_bytes(shape) -> int:
+    """Rough per-cell VMEM footprint of the fused v3 BACKWARD (the larger
+    pass): transposed weights (bf16) + f32 dW accumulators + 5 row-stack
+    blocks + the block-diagonal Hilbert."""
+    n, h, w, c = shape
+    r = _row_tile(h, w)
+    return (4 * c * c * 2) + (4 * c * c * 4) + 5 * (r * w * c * 2) + (r * w) ** 2 * 2
+
+
+def v3_eligible(shape) -> bool:
+    if not _ENABLED:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return _v3_vmem_bytes(shape) < 12 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sfconv_freq_pallas_v3(x: jnp.ndarray, w_packed: jnp.ndarray, interpret: bool = False):
+    """Row-tiled drop-in for sfconv_freq_spatial (small-W regime)."""
+    c = x.shape[-1]
+    a1, a2, b1, b2 = _split_blocks(w_packed, c)
+    return _kernel_call_v3(x, _double_reversal(x), a1, a2, b1, b2, interpret=interpret)
+
+
+def _fwd_v3(x, w_packed, interpret):
+    return sfconv_freq_pallas_v3(x, w_packed, interpret), (x, w_packed)
+
+
+def _bwd_v3(interpret, res, g):
+    x, w_packed = res
+    c = x.shape[-1]
+    a1, a2, b1, b2 = _split_blocks(w_packed, c)
+    x_bar, a1_bar, a2_bar, b1_bar, b2_bar = _bwd_kernel_call_v3(
+        x, _double_reversal(x), g, _double_reversal(g),
+        a1.T, -a2.T, b1.T, b2.T, interpret=interpret,
+    )
+    wrr_bar = (a1_bar + b1_bar) * 0.5
+    wii_bar = (a1_bar - b1_bar) * 0.5
+    wri_bar = (a2_bar + b2_bar) * 0.5
+    wir_bar = (b2_bar - a2_bar) * 0.5
+    w_bar = jnp.block([[wrr_bar, wri_bar], [wir_bar, wii_bar]]).astype(w_packed.dtype)
+    return x_bar.astype(x.dtype), w_bar
+
+
+sfconv_freq_pallas_v3.defvjp(_fwd_v3, _bwd_v3)
