@@ -35,10 +35,23 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("UD_JAX_CACHE", "/tmp/ud_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-# Reference denominator (H100 PyTorch, images/sec) — not measured yet; the
-# reference repo has no benchmark harness and no H100 is reachable from this
-# environment (BASELINE.md). vs_baseline reports value/baseline when set.
-H100_BASELINE_IMG_PER_SEC = float(os.environ.get("UD_BASELINE_IPS", "0") or 0)
+# Reference denominators (BASELINE.md "Denominators" section):
+#
+# 1. H100 ESTIMATE — the reference repo ships no benchmark harness and no
+#    H100 is reachable from this zero-egress environment, so the denominator
+#    is a spec-derived estimate for the reference's own workload (eager
+#    PyTorch UniDefense-b4 two-pass step, batch 10+10 @256²): ~400 img/s.
+#    Full derivation (three independent methods: MFU bound, HBM roofline,
+#    bandwidth-scaled same-chip measurement) in BASELINE.md; override with
+#    UD_BASELINE_IPS once a real H100 measurement exists.
+H100_BASELINE_IMG_PER_SEC = float(os.environ.get("UD_BASELINE_IPS", "400") or 0)
+# 2. FAITHFUL-PORT — same chip, same harness, literal reference compute
+#    pipeline (complex-FFT custom calls everywhere, no DFT-as-matmul
+#    dispatch, spectral SFConv): measured 104.9 img/s @256² b10+10
+#    (BASELINE.md ablation row). Reproduce with UD_BENCH_FAITHFUL=1
+#    (re-measures instead of reporting the main metric); override the
+#    recorded denominator with UD_FAITHFUL_IPS.
+FAITHFUL_PORT_IMG_PER_SEC = float(os.environ.get("UD_FAITHFUL_IPS", "104.9") or 0)
 # TPU v5e peak dense bf16 throughput per chip.
 PEAK_FLOPS = float(os.environ.get("UD_PEAK_FLOPS", 197e12))
 
@@ -236,22 +249,55 @@ def bench_engine_e2e(size: int = 380, steps: int = 10, windows: int = 5,
 
 
 def main():
-    ips, flops, mfu = bench_device_only()
+    import contextlib
+
+    if os.environ.get("UD_BENCH_FAITHFUL"):
+        # re-measure the faithful-port denominator: literal reference compute
+        # pipeline (spectral SFConv + complex-FFT custom calls, no
+        # DFT-as-matmul dispatch) on the same chip/harness. Must be set
+        # BEFORE unidefense_tpu model modules import (they read these at
+        # import time), which holds here because _build imports lazily.
+        os.environ["UD_SFCONV_MODE"] = "spectral"
+        os.environ["UD_FFT_MODE"] = "fft"
+        with contextlib.redirect_stdout(sys.stderr):
+            ips, flops, mfu = bench_device_only()
+        print(json.dumps({
+            "metric": "udeb4_faithful_port_images_per_sec_per_chip_256",
+            "value": round(ips, 2), "unit": "images/sec",
+            "vs_baseline": None,
+            "note": "denominator run: set UD_FAITHFUL_IPS to this value",
+        }))
+        return
+
+    # engines print settings lines; the driver contract is ONE JSON line on
+    # stdout, so everything before the final dump goes to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        ips, flops, mfu = bench_device_only()
+        e2e, e2e_err = None, None
+        if not os.environ.get("UD_BENCH_FAST"):
+            try:
+                e2e = bench_engine_e2e()
+            except Exception as e:  # e2e failure must not hide the primary metric
+                e2e_err = f"{type(e).__name__}: {e}"[:200]
     out = {
         "metric": "udeb4_train_images_per_sec_per_chip_256",
         "value": round(ips, 2),
         "unit": "images/sec",
+        # vs the spec-derived H100 estimate for the reference's own eager
+        # step (~400 img/s, derivation in BASELINE.md "Denominators")
         "vs_baseline": (round(ips / H100_BASELINE_IMG_PER_SEC, 3)
                         if H100_BASELINE_IMG_PER_SEC else None),
+        # vs the same-chip literal-reference-pipeline ablation
+        # (104.9 img/s measured; reproduce with UD_BENCH_FAITHFUL=1)
+        "vs_faithful_port": (round(ips / FAITHFUL_PORT_IMG_PER_SEC, 3)
+                             if FAITHFUL_PORT_IMG_PER_SEC else None),
         "flops_per_step": flops,
         "mfu": round(mfu, 4) if mfu is not None else None,
     }
-    if not os.environ.get("UD_BENCH_FAST"):
-        try:
-            e2e = bench_engine_e2e()
-            out["engine_e2e_ips_380"] = round(e2e, 2)
-        except Exception as e:  # e2e failure must not hide the primary metric
-            out["engine_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    if e2e is not None:
+        out["engine_e2e_ips_380"] = round(e2e, 2)
+    if e2e_err is not None:
+        out["engine_e2e_error"] = e2e_err
     print(json.dumps(out))
 
 

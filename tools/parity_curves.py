@@ -127,7 +127,7 @@ def batch_stream(reals, fakes, n_steps, bs, seed=7):
 
 # --------------------------------------------------------------- torch side
 
-def build_torch(cfg, num_steps, lr, wd, seed=0):
+def build_torch(cfg, num_steps, lr, wd, seed=0, model_name="udr18", size=64):
     import torch
 
     _install_stubs()
@@ -144,10 +144,29 @@ def build_torch(cfg, num_steps, lr, wd, seed=0):
     spec.loader.exec_module(mod)
 
     from loss import get_loss  # noqa: reference registry
-    from model.unidefense import UniDefenseModelRes18  # noqa
 
     torch.manual_seed(seed)
-    model = UniDefenseModelRes18(extractor="resnet18", num_classes=2)
+    if model_name == "udeb4":
+        # flagship: reference Eb4, built via from_name (no weight download)
+        # with STATIC SAME padding pinned to the run's image size — exactly
+        # the shim the UD_SLOW golden uses (tests/test_convert.py)
+        import model.efficientnet.model as tm  # noqa
+        from model.unidefense import UniDefenseModelEb4  # noqa
+
+        orig = tm.EfficientNet.from_pretrained
+        tm.EfficientNet.from_pretrained = classmethod(
+            lambda cls, name, weights_path=None, advprop=False, in_channels=3,
+            num_classes=1000, **kw: cls.from_name(
+                name, num_classes=num_classes, image_size=size, **kw)
+        )
+        try:
+            model = UniDefenseModelEb4(extractor="efficientnet-b4", num_classes=2)
+        finally:
+            tm.EfficientNet.from_pretrained = orig
+    else:
+        from model.unidefense import UniDefenseModelRes18  # noqa
+
+        model = UniDefenseModelRes18(extractor="resnet18", num_classes=2)
     model.train()
 
     # timm param_groups_weight_decay semantics (engine/forgery_engine.py:152-154)
@@ -199,7 +218,7 @@ def torch_eval_probs(model, x_val):
 
 # --------------------------------------------------------------- jax side
 
-def build_jax(torch_model, cfg, num_steps, sample_x, bs):
+def build_jax(torch_model, cfg, num_steps, sample_x, bs, model_name="udr18"):
     import jax
     import jax.numpy as jnp
 
@@ -210,7 +229,7 @@ def build_jax(torch_model, cfg, num_steps, sample_x, bs):
         create_train_state, make_eval_step, make_train_step,
     )
 
-    model = load_model("UDR18")()
+    model = load_model("UDEB4" if model_name == "udeb4" else "UDR18")()
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": rng}, jnp.asarray(sample_x), train=False
@@ -255,6 +274,8 @@ def main():
     ap.add_argument("--out", default="runs/parity")
     ap.add_argument("--artifact", type=float, default=0.10,
                     help="fake-class checkerboard amplitude (lower = harder)")
+    ap.add_argument("--model", choices=["udr18", "udeb4"], default="udr18",
+                    help="udeb4 = flagship parity at reduced resolution")
     args = ap.parse_args()
 
     import jax
@@ -284,10 +305,12 @@ def main():
     print("== building torch reference ==")
     import torch
 
-    eng, tmodel, topt, scaler = build_torch(cfg, args.steps, args.lr, args.wd)
+    eng, tmodel, topt, scaler = build_torch(
+        cfg, args.steps, args.lr, args.wd, model_name=args.model, size=args.size
+    )
     print("== building unidefense_tpu (same init) ==")
     jmodel, jstate, jstep, jeval = build_jax(
-        tmodel, cfg, args.steps, batches[0][0], args.bs
+        tmodel, cfg, args.steps, batches[0][0], args.bs, model_name=args.model
     )
 
     import jax.numpy as jnp
