@@ -135,6 +135,32 @@ class TestSFConvPallasV3:
         np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_v4_forward_and_grads_match_spatial_form(self):
+        import jax
+
+        from unidefense_tpu.ops.sfconv_pallas import sfconv_freq_pallas_v4
+        from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+        for shape in [(2, 8, 8, 6), (1, 12, 8, 4), (2, 6, 10, 6)]:
+            x, wp = self._pair(*shape)
+            ref = sfconv_freq_spatial(x, wp)
+            out = sfconv_freq_pallas_v4(x, wp, True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+        x, wp = self._pair(2, 8, 8, 6)
+        cot = jnp.asarray(np.random.default_rng(2).normal(
+            size=(2, 8, 8, 6)).astype(np.float32))
+        gx_r, gw_r = jax.grad(
+            lambda x, wp: jnp.sum(sfconv_freq_spatial(x, wp) * cot),
+            argnums=(0, 1))(x, wp)
+        gx_p, gw_p = jax.grad(
+            lambda x, wp: jnp.sum(sfconv_freq_pallas_v4(x, wp, True) * cot),
+            argnums=(0, 1))(x, wp)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_row_tile_divides(self):
         from unidefense_tpu.ops.sfconv_pallas import _row_tile
 

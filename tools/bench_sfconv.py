@@ -10,7 +10,11 @@ same invocation. Shapes default to the UDEB4 SFConv instances at 256² and
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -53,13 +57,14 @@ def main():
         pallas_eligible,
         sfconv_freq_pallas,
         sfconv_freq_pallas_v3,
+        sfconv_freq_pallas_v4,
         v3_eligible,
     )
     from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
 
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} n={args.n} (ms per fwd+bwd)")
-    print(f"{'shape':>16} {'xla':>8} {'v2':>8} {'v3':>8}  notes")
+    print(f"{'shape':>16} {'xla':>8} {'v2':>8} {'v3':>8} {'v4':>8}  notes")
     for h, w, c in SHAPES_256 + SHAPES_380:
         x = jnp.asarray(rng.normal(size=(args.n, h, w, c)).astype(np.float32),
                         jnp.bfloat16)
@@ -81,11 +86,67 @@ def main():
                 print(row)
                 continue
         row += f" {t_v3:8.2f}" if t_v3 is not None else f" {'-':>8}"
-        best = min(v for v in (t_xla, t_v2, t_v3) if v is not None)
-        winner = ("xla" if best == t_xla else "v2" if best == t_v2 else "v3")
+        t_v4 = None
+        if True:  # try v4 on every shape; compile errors are caught
+            try:
+                t_v4 = _time_fwd_bwd(lambda a, b: sfconv_freq_pallas_v4(a, b),
+                                     x, wp, args.iters)
+            except Exception as e:
+                row += f" {'ERR':>8}  {type(e).__name__}: {str(e)[:60]}"
+                print(row)
+                continue
+        row += f" {t_v4:8.2f}" if t_v4 is not None else f" {'-':>8}"
+        best = min(v for v in (t_xla, t_v2, t_v3, t_v4) if v is not None)
+        winner = ("xla" if best == t_xla else "v2" if best == t_v2
+                  else "v3" if best == t_v3 else "v4")
         row += f"  R={_row_tile(h, w)} win={winner} ({t_xla / best:.2f}x)"
         print(row)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("UD_SFB_INTERLEAVED"):
     main()
+
+
+def interleaved(shapes=None, n=20, iters=20, rounds=3):
+    """Noise-robust per-shape A/B: alternate xla/v4 timing windows within one
+    process and take each impl's MIN across rounds (tunnel drift at the ms
+    scale is 2-3x, so single adjacent windows are not trustworthy)."""
+    from unidefense_tpu.ops.sfconv_pallas import (
+        pallas_eligible,
+        sfconv_freq_pallas,
+        sfconv_freq_pallas_v4,
+    )
+    from unidefense_tpu.ops.sfconv_spatial import sfconv_freq_spatial
+
+    shapes = shapes or (SHAPES_256 + SHAPES_380)
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} n={n} interleaved x{rounds} "
+          f"(min ms per fwd+bwd)")
+    results = {}
+    for h, w, c in shapes:
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32),
+                        jnp.bfloat16)
+        wp = jnp.asarray(rng.normal(size=(2 * c, 2 * c)).astype(np.float32),
+                         jnp.bfloat16)
+        impls = {"xla": sfconv_freq_spatial}
+        if pallas_eligible(x.shape):
+            impls["v2"] = lambda a, b: sfconv_freq_pallas(a, b)
+        try:
+            sfconv_freq_pallas_v4(x, wp)  # compile probe
+            impls["v4"] = lambda a, b: sfconv_freq_pallas_v4(a, b)
+        except Exception as e:
+            print(f"{h}x{w}/C{c}: v4 compile failed: {type(e).__name__}")
+        best = {k: float("inf") for k in impls}
+        for _ in range(rounds):
+            for k, fn in impls.items():
+                best[k] = min(best[k], _time_fwd_bwd(fn, x, wp, iters))
+        results[(h, w, c)] = best
+        msg = " ".join(f"{k}={v:.2f}" for k, v in best.items())
+        ref = best["xla"]
+        fastest = min(best, key=best.get)
+        print(f"{h}x{w}/C{c:<4} {msg}  win={fastest} ({ref / best[fastest]:.2f}x)")
+    return results
+
+
+if __name__ == "__main__" and os.environ.get("UD_SFB_INTERLEAVED"):
+    raise SystemExit(interleaved() and 0)

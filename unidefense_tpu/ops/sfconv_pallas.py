@@ -35,6 +35,45 @@ So the kernel is ON by default for W >= 80 only — exactly the flagship's
 earlier v1 whose dW ran as separate XLA einsums lost end-to-end even where
 its fwd won, hence the dW contractions are accumulated inside the backward
 kernel across the sequential grid). UD_SFCONV_PALLAS=0 disables.
+
+Round-3 NEGATIVE RESULT — row-tiling below W=80 (VERDICT r2 item 3). Two
+further kernels were built, verified exact (interpret-mode tests), and
+measured with interleaved same-process A/B (tools/bench_sfconv.py
+`interleaved`; single adjacent windows drift 2-3x on this tunnel at the ms
+scale, so only interleaved minima are comparable):
+
+* v3 (below): grid (N, H/R), (R·W, C) row-stacks so the MXU M dim is R·W
+  instead of W, mirror rows from a PRECOMPUTED double reversal (an R-row
+  mirror block cannot be block-aligned — row 0 is its own mirror),
+  block-diagonal I_R⊗hm Hilbert, fused dW backward.
+* v4 (below): split-output form out = [x@A1 − H(x)@A2] + R(x@B1 + H(x)@B2)
+  (R commutes with channel mixes, R∘H = −H∘R), which reads x ONCE with no
+  materialized reversal and halves the Hilbert matmuls; the double reversal
+  of out2 is a fused XLA epilogue.
+
+Interleaved minima, ms per op fwd+bwd, b20 bf16, v5e (2026-08-17):
+
+| shape | XLA | v4 | v2 |
+|---|---|---|---|
+| 64²/C192  | 2.58 | 2.97 | — |
+| 48²/C336  | 2.69 | 2.45 | — |
+| 32²/C336  | 1.75 | 2.55 | — |
+| 24²/C672  | 2.70 | 2.63 | — |
+| 16²/C672  | 1.83 | 2.84 | — |
+| 12²/C960  | 2.25 | 2.64 | — |
+| 80²/C192  | 3.94 | 3.52 | 3.19 |
+| 95²/C192  | 6.11 | (Mosaic compile error) | 3.75 |
+
+v4 only ties/narrowly wins at 2 of 6 small shapes (1.10x / 1.03x) and loses
+the rest; v3 is strictly worse than v4 (two Hilbert matmuls + an extra
+materialized stream). Root cause: at these sizes the XLA einsums are already
+MXU-dense (M = N·H·W in the channel mixes) and the measured per-op times sit
+~10x above the HBM roofline for BOTH implementations — the cost is per-op
+scheduling overhead inside the program, which a Pallas rewrite does not
+remove (pallas_call is additionally a fusion barrier, CLAUDE.md gotcha 11).
+The small-W dispatch therefore stays XLA; v2 stays ON for W >= 80. v3/v4 are
+kept (tested, exact) as the starting point if a future Mosaic removes the
+barriers.
 """
 
 from __future__ import annotations
@@ -452,3 +491,158 @@ def _bwd_v3(interpret, res, g):
 
 
 sfconv_freq_pallas_v3.defvjp(_fwd_v3, _bwd_v3)
+
+
+# --------------------------------------------------------------------- v4
+# Split-output kernel: R commutes with the channel matmuls and anticommutes
+# with H (R∘H = −H∘R), so
+#
+#     out = x@A1 − H(x)@A2 + R(x)@B1 − H(R(x))@B2
+#         = [x@A1 − H(x)@A2] + R( x@B1 + H(x)@B2 )
+#
+# The kernel therefore reads x ONCE (aligned R-row blocks, no mirror binding,
+# no materialized reversal), performs ONE block-diagonal Hilbert matmul and
+# four channel matmuls, and writes TWO outputs; the double reversal of out2
+# runs as a fused XLA epilogue (reverse+roll is free to fuse into the
+# consumer). Backward has the same split structure on g:
+#
+#     x_bar = [g@A1ᵀ + H(g)@A2ᵀ] + R( g@B1ᵀ + H(g)@B2ᵀ )
+#
+# and the dW contractions need one reversed stream (rg = R(g), one XLA pass):
+#     dA1 = Σ xᵀg   dA2 = −Σ(Hx)ᵀg   dB1 = Σ xᵀrg   dB2 = Σ(Hx)ᵀrg
+# (⟨R(x), g⟩ = ⟨x, R(g)⟩ row-stack-wise; signs fold R∘H = −H∘R.)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_call_v4(x, m1, m2, m3, m4, interpret=False):
+    """Returns (out1, out2) with out1 = x@m1 − H(x)@m2, out2 = x@m3 + H(x)@m4."""
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    dt = x.dtype
+    r = _row_tile(h, w)
+    hmb = jnp.asarray(_hilbert_block_matrix(w, r), dt)
+    m1, m2, m3, m4 = (m.astype(dt) for m in (m1, m2, m3, m4))
+    f32 = jnp.float32
+
+    def kernel(x_ref, hm_ref, m1_ref, m2_ref, m3_ref, m4_ref, o1_ref, o2_ref):
+        xs = x_ref[0].reshape(r * w, c)
+        hx = jnp.dot(hm_ref[...], xs, preferred_element_type=f32).astype(dt)
+        o1 = (jnp.dot(xs, m1_ref[...], preferred_element_type=f32)
+              - jnp.dot(hx, m2_ref[...], preferred_element_type=f32))
+        o2 = (jnp.dot(xs, m3_ref[...], preferred_element_type=f32)
+              + jnp.dot(hx, m4_ref[...], preferred_element_type=f32))
+        o1_ref[0] = o1.reshape(r, w, c).astype(o1_ref.dtype)
+        o2_ref[0] = o2.reshape(r, w, c).astype(o2_ref.dtype)
+
+    blk = pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0))
+    wmat = pl.BlockSpec((r * w, r * w), lambda i, j: (0, 0))
+    cmat = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // r),
+        in_specs=[blk, wmat, cmat, cmat, cmat, cmat],
+        out_specs=[blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((n, h, w, c), dt)] * 2,
+        interpret=interpret,
+    )(x, hmb, m1, m2, m3, m4)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_kernel_call_v4(x, g, rg, a1t, a2t, b1t, b2t, interpret=False):
+    """Fused v4 backward: split x_bar halves PLUS the four dW accumulators.
+    Per cell: hg = Hb g, hx = Hb x;
+      xbar1 = g@A1ᵀ + hg@A2ᵀ        xbar2 = g@B1ᵀ + hg@B2ᵀ
+      a1b += xᵀg   a2b += −hxᵀg     b1b += xᵀrg    b2b += hxᵀrg
+    Caller: x_bar = xbar1 + R(xbar2); dA2 = a2b, dB2 = b2b (signs folded)."""
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    dt = x.dtype
+    r = _row_tile(h, w)
+    hmb = jnp.asarray(_hilbert_block_matrix(w, r), dt)
+    a1t, a2t, b1t, b2t = (m.astype(dt) for m in (a1t, a2t, b1t, b2t))
+    f32 = jnp.float32
+
+    def kernel(x_ref, g_ref, rg_ref, hm_ref, a1t_ref, a2t_ref, b1t_ref, b2t_ref,
+               x1_ref, x2_ref, a1b_ref, a2b_ref, b1b_ref, b2b_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            a1b_ref[...] = jnp.zeros_like(a1b_ref)
+            a2b_ref[...] = jnp.zeros_like(a2b_ref)
+            b1b_ref[...] = jnp.zeros_like(b1b_ref)
+            b2b_ref[...] = jnp.zeros_like(b2b_ref)
+
+        xs = x_ref[0].reshape(r * w, c)
+        gs = g_ref[0].reshape(r * w, c)
+        rs = rg_ref[0].reshape(r * w, c)
+        hmm = hm_ref[...]
+        hg = jnp.dot(hmm, gs, preferred_element_type=f32).astype(dt)
+        hx = jnp.dot(hmm, xs, preferred_element_type=f32).astype(dt)
+
+        x1 = (jnp.dot(gs, a1t_ref[...], preferred_element_type=f32)
+              + jnp.dot(hg, a2t_ref[...], preferred_element_type=f32))
+        x2 = (jnp.dot(gs, b1t_ref[...], preferred_element_type=f32)
+              + jnp.dot(hg, b2t_ref[...], preferred_element_type=f32))
+        x1_ref[0] = x1.reshape(r, w, c).astype(x1_ref.dtype)
+        x2_ref[0] = x2.reshape(r, w, c).astype(x2_ref.dtype)
+
+        a1b_ref[...] += jnp.dot(xs.T, gs, preferred_element_type=f32)
+        a2b_ref[...] += -jnp.dot(hx.T, gs, preferred_element_type=f32)
+        b1b_ref[...] += jnp.dot(xs.T, rs, preferred_element_type=f32)
+        b2b_ref[...] += jnp.dot(hx.T, rs, preferred_element_type=f32)
+
+    blk = pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0))
+    wmat = pl.BlockSpec((r * w, r * w), lambda i, j: (0, 0))
+    cmat = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    acc = pl.BlockSpec((c, c), lambda i, j: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // r),
+        in_specs=[blk, blk, blk, wmat, cmat, cmat, cmat, cmat],
+        out_specs=[blk, blk, acc, acc, acc, acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+        ],
+        interpret=interpret,
+    )(x, g, rg, hmb, a1t, a2t, b1t, b2t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sfconv_freq_pallas_v4(x: jnp.ndarray, w_packed: jnp.ndarray, interpret: bool = False):
+    """Split-output row-tiled drop-in for sfconv_freq_spatial."""
+    c = x.shape[-1]
+    a1, a2, b1, b2 = _split_blocks(w_packed, c)
+    o1, o2 = _kernel_call_v4(x, a1, a2, b1, b2, interpret=interpret)
+    return o1 + _double_reversal(o2)
+
+
+def _fwd_v4(x, w_packed, interpret):
+    return sfconv_freq_pallas_v4(x, w_packed, interpret), (x, w_packed)
+
+
+def _bwd_v4(interpret, res, g):
+    x, w_packed = res
+    c = x.shape[-1]
+    a1, a2, b1, b2 = _split_blocks(w_packed, c)
+    x1, x2, a1_bar, a2_bar, b1_bar, b2_bar = _bwd_kernel_call_v4(
+        x, g, _double_reversal(g), a1.T, a2.T, b1.T, b2.T, interpret=interpret
+    )
+    x_bar = x1 + _double_reversal(x2)
+    wrr_bar = (a1_bar + b1_bar) * 0.5
+    wii_bar = (a1_bar - b1_bar) * 0.5
+    wri_bar = (a2_bar + b2_bar) * 0.5
+    wir_bar = (b2_bar - a2_bar) * 0.5
+    w_bar = jnp.block([[wrr_bar, wri_bar], [wir_bar, wii_bar]]).astype(w_packed.dtype)
+    return x_bar.astype(x.dtype), w_bar
+
+
+sfconv_freq_pallas_v4.defvjp(_fwd_v4, _bwd_v4)
