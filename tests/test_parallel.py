@@ -125,3 +125,63 @@ def test_split_device_batch_layout():
     assert imgs[2:4].flatten().tolist() == [100, 101]
     assert lbls[:4].tolist() == [0, 0, 1, 1]
     assert imgs[4:6].flatten().tolist() == [2, 3]
+
+
+def test_gspmd_2d_matches_single_device():
+    """GSPMD 2-D ('data','model') mode (round-3 add): the SAME global-batch
+    step (axis_name=None) jitted under a 4x2 mesh with tensor-sharded large
+    kernels must reproduce the single-device result — XLA inserts the
+    collectives, the math is unchanged (reduction-order tolerance only)."""
+    from unidefense_tpu.parallel.mesh import (
+        MODEL_AXIS,
+        create_mesh_2d,
+        gspmd_train_step,
+        state_shardings,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x, labels = tiny_batch()  # 2 real + 2 fake
+    gx = jnp.concatenate([x] * 4, axis=0)       # global batch 16 = 8r + 8f?
+    gl = jnp.concatenate([labels] * 4, axis=0)
+    # global real-first layout for the axis_name=None step: sort real rows
+    # first (labels from tiny_batch are [0,0,1,1] per block)
+    order = jnp.argsort(gl, stable=True)
+    gx, gl = gx[order], gl[order]
+    n_real = int(jnp.sum(gl == 0))
+
+    model = MiniUniDefense()  # no axis_name: global-batch semantics
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng}, gx, train=False)
+    )
+    tx, _ = build_optimizer(OPT_CFG, shapes["params"])
+    step_fn = make_train_step(
+        model, tx, OPT_CFG, num_steps=50,
+        sum_real=n_real, sum_fake=int(gl.shape[0]) - n_real,
+    )
+
+    # single-device reference
+    state1 = create_train_state(model, tx, rng, gx)
+    new1, m1, cls1 = jax.jit(step_fn)(state1, {"image": gx, "label": gl}, rng)
+
+    # 4x2 GSPMD
+    mesh = create_mesh_2d(8, model_parallel=2)
+    assert mesh.shape[MODEL_AXIS] == 2
+    state2 = create_train_state(model, tx, rng, gx)
+    sharded = gspmd_train_step(step_fn, mesh, state2, min_size=1024)
+    new2, m2, cls2 = sharded(state2, {"image": gx, "label": gl}, rng)
+
+    assert np.isfinite(float(m2["total_loss"]))
+    np.testing.assert_allclose(float(m2["total_loss"]), float(m1["total_loss"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cls2), np.asarray(cls1),
+                               rtol=2e-2, atol=2e-2)
+    # params after the two updates agree leaf-wise
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(new2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+    # at least one parameter leaf is actually tensor-sharded over 'model'
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda l: l.sharding.spec, new2.params,
+                     is_leaf=lambda l: hasattr(l, "sharding"))
+    )
+    assert any(MODEL_AXIS in str(s) for s in specs), specs
