@@ -185,3 +185,13 @@ def test_gspmd_2d_matches_single_device():
                      is_leaf=lambda l: hasattr(l, "sharding"))
     )
     assert any(MODEL_AXIS in str(s) for s in specs), specs
+
+
+def test_hybrid_mesh_single_slice_fallback():
+    """create_hybrid_mesh degrades to the 2-D mesh on single-slice/CPU
+    topologies (DCN placement only engages with real multi-slice TPUs)."""
+    from unidefense_tpu.parallel.mesh import create_hybrid_mesh
+
+    m = create_hybrid_mesh(2)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    assert m.axis_names == ("data", "model")

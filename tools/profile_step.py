@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same as bench.py): the lambda-ablation variants
+# are each a fresh UDEB4 program, ~5 min cold on this runtime
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("UD_JAX_CACHE", "/tmp/ud_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 PEAK_FLOPS = 197e12
 PEAK_BW = 819e9
 
@@ -69,12 +75,13 @@ def _force(out):
     float(jnp.sum(leaf.astype(jnp.float32)) if hasattr(leaf, "astype") else leaf)
 
 
-def build(size, batch_real, batch_fake, **model_kw):
+def build(size, batch_real, batch_fake, cfg=None, **model_kw):
     from unidefense_tpu.data.transforms import DevicePipeline
     from unidefense_tpu.models.registry import load_model
     from unidefense_tpu.train.optim import build_optimizer
     from unidefense_tpu.train.step import create_train_state, make_train_step
 
+    cfg = cfg or CFG
     model = load_model("UDEB4")(dtype=jnp.bfloat16, **model_kw)
     rng = jax.random.PRNGKey(0)
     device_tf = DevicePipeline(hflip_p=0.5, out_dtype=jnp.float32)
@@ -82,10 +89,10 @@ def build(size, batch_real, batch_fake, **model_kw):
     x_u8 = jax.random.randint(rng, (n, size, size, 3), 0, 256, jnp.int32).astype(jnp.uint8)
     x = device_tf(x_u8, None)
     shapes = jax.eval_shape(lambda: model.init({"params": rng, "dropout": rng}, x, train=False))
-    tx, _ = build_optimizer(CFG, shapes["params"])
+    tx, _ = build_optimizer(cfg, shapes["params"])
     state = create_train_state(model, tx, rng, x)
     step = jax.jit(
-        make_train_step(model, tx, CFG, num_steps=90000, sum_real=batch_real,
+        make_train_step(model, tx, cfg, num_steps=90000, sum_real=batch_real,
                         sum_fake=batch_fake, preprocess=device_tf),
         donate_argnums=0,
     )
@@ -150,6 +157,25 @@ def main():
         report("no SFConv anywhere (freq_norm=None)", dt)
     except Exception as e:
         print("sfconv ablation failed:", e)
+
+    # ---- loss-term ablations: a literal-0.0 lambda lets XLA constant-fold
+    # and DCE the whole term's forward+backward subgraph, bounding its cost
+    # (recon/freq losses carry rfft chains; triplet carries the distance
+    # matrices + softmax weights; perturbation branch is structural and NOT
+    # removable this way)
+    for key, label in (("lambda_freq", "no freq-recon loss (lambda_freq=0)"),
+                       ("lambda_recons", "no pixel-recon loss (lambda_recons=0)"),
+                       ("lambda_triplet", "no triplet loss (lambda_triplet=0)"),
+                       ("lambda_fac", "no factorization loss (lambda_fac=0)"),
+                       ("lambda_mask", "no mask losses (lambda_mask=0)")):
+        try:
+            cfg0 = dict(CFG); cfg0[key] = 0.0
+            model3, state3, step3, batch3, rng3, _ = build(
+                args.size, b, b, cfg=cfg0)
+            dt = _time(step3, state3, batch3, rng3, args.steps)
+            report(label, dt)
+        except Exception as e:
+            print(f"{key} ablation failed:", e)
 
     print()
     print(json.dumps({
