@@ -240,11 +240,17 @@ class SFConv(nn.Module):
             # (ops/sfconv_pallas.py, measured in PROGRESS.md)
             xc = x.astype(self.dtype or x.dtype)
             from unidefense_tpu.ops.sfconv_pallas import (
-                pallas_eligible, sfconv_freq_pallas,
+                pallas_eligible, sfconv_freq_pallas, v4_widths,
+                sfconv_freq_pallas_v4,
             )
 
             if pallas_eligible(xc.shape):
                 freq = sfconv_freq_pallas(xc, freq_kernel[0, 0]).astype(jnp.float32)
+            elif xc.shape[2] in v4_widths() and xc.shape[1] == xc.shape[2]:
+                # experimental small-W row-tiled kernel, A/B-gated via
+                # UD_SFCONV_V4="48,24" (default off — see the negative-result
+                # table in ops/sfconv_pallas.py)
+                freq = sfconv_freq_pallas_v4(xc, freq_kernel[0, 0]).astype(jnp.float32)
             else:
                 freq = sfconv_freq_spatial(
                     xc, freq_kernel[0, 0].astype(self.dtype or x.dtype)

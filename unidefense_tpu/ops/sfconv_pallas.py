@@ -74,6 +74,14 @@ remove (pallas_call is additionally a fusion barrier, CLAUDE.md gotcha 11).
 The small-W dispatch therefore stays XLA; v2 stays ON for W >= 80. v3/v4 are
 kept (tested, exact) as the starting point if a future Mosaic removes the
 barriers.
+
+End-to-end coda: an A/B with v4 force-enabled at its two narrow-win shapes
+(UD_SFCONV_V4="48,24", full 256² step) could not even be measured — the
+full-step compile with the embedded small-shape Mosaic kernels did not
+return within a 25-minute window on this runtime (same remote-compile
+pathology family as the 95² HTTP 500), vs ~5 min for the XLA-only step.
+Adjacent control: 165.0-165.2 img/s. The UD_SFCONV_V4 gate remains for
+future runtimes; default stays empty.
 """
 
 from __future__ import annotations
@@ -646,3 +654,17 @@ def _bwd_v4(interpret, res, g):
 
 
 sfconv_freq_pallas_v4.defvjp(_fwd_v4, _bwd_v4)
+
+
+@functools.lru_cache(maxsize=1)
+def v4_widths() -> frozenset:
+    """Widths for which the v4 split-output kernel is enabled (A/B gate):
+    UD_SFCONV_V4="48,24" etc. Default EMPTY — the interleaved per-op A/B
+    (docstring table) showed no consistent small-W win, so v4 ships off."""
+    raw = os.environ.get("UD_SFCONV_V4", "")
+    try:
+        if jax.default_backend() != "tpu":
+            return frozenset()
+    except Exception:
+        return frozenset()
+    return frozenset(int(t) for t in raw.split(",") if t.strip())
