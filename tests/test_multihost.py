@@ -203,3 +203,125 @@ def test_two_process_sharded_train_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_TRAIN_OK {pid}" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-3: the WHOLE ForgeryEngine lifecycle across two processes — sharded
+# samplers draw per-process stream batches, the global batch is formed from
+# process-local shards (assemble_batch), validation runs the striped
+# process-local eval + all_gather_objects merge, process 0 checkpoints.
+
+CHILD_ENGINE = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+jax.distributed.initialize(
+    coordinator_address=os.environ["UD_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["UD_PID"]),
+)
+sys.path.insert(0, os.environ["UD_REPO"])
+import hashlib
+import numpy as np
+
+from tests.helpers import MiniUniDefense
+from unidefense_tpu.models import registry
+registry.MODEL["MINI"] = MiniUniDefense
+
+os.chdir(os.environ["UD_WORKDIR"])
+
+tf = [
+    {"name": "Resize", "params": {"height": 16, "width": 16}},
+    {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+]
+ds_options = {
+    "root": os.environ["UD_DATA"], "name": "FFpp", "use_lmdb": False,
+    "real_method": ["Origin"], "fake_method": ["Deepfakes"],
+    "compression": "c23", "num_steps": 2, "log_steps": 1, "val_steps": 2,
+    "train_transforms": tf, "val_transforms": tf, "test_transforms": tf,
+}
+import unidefense_tpu.engines.forgery as fe_mod
+fe_mod.load_dataset_config = lambda _c: dict(ds_options)
+config = {
+    "model": {"name": "MINI", "num_classes": 2},
+    "config": {"optimizer": {"name": "adamw", "lr": 1e-3},
+               "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+               "lambda_mask": 0.1, "lambda_fac": 0.1,
+               "crop": "nocrop", "warmup_step": 0, "resume": False,
+               "id": "mh-engine", "debug": False, "offline": True},
+    "data": {"train_batch_size": 1, "val_batch_size": 4, "num_workers": 1,
+             "file": "<inline>"},
+}
+pid = jax.process_index()
+eng = fe_mod.ForgeryEngine(config, stage="Train")
+assert eng.n_dev == 4 and eng.n_dev_local == 2, (eng.n_dev, eng.n_dev_local)
+# per-process stream draw = bs * n_dev / nproc = 2
+assert eng.real_batcher.sampler.batch_size == 2
+eng.train()
+assert int(eng.state.step) == 2
+
+from unidefense_tpu.parallel.mesh import all_gather_objects
+leaves = jax.tree.leaves(jax.device_get(eng.state.params))
+digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)).hexdigest()
+got = all_gather_objects(digest, float(eng.best_auc))
+assert got[0][0] == got[1][0], "param divergence across processes"
+assert abs(got[0][1] - got[1][1]) < 1e-12, "best-AUC divergence (eval merge broken)"
+if pid == 0:
+    assert eng.ckpt.exists(best=True)
+print("MULTIHOST_ENGINE_OK", pid, flush=True)
+"""
+
+
+def test_two_process_forgery_engine(tmp_path):
+    import torch
+
+    from tests.test_data import _write_jpg
+
+    root = tmp_path / "ffpp"
+    index = []
+    for kind, label, n_vid in (("original_sequences/youtube", 0, 3),
+                               ("manipulated_sequences/Deepfakes", 1, 3)):
+        for vid in range(n_vid):
+            for frame in range(4):
+                rel = f"{kind}/c23/images/{vid:03d}/{frame:04d}.jpg"
+                _write_jpg(str(root / rel), seed=label * 100 + vid * 10 + frame,
+                           size=20)
+                index.append((rel, label))
+    os.makedirs(root / "pickle_files", exist_ok=True)
+    for split in ("train", "val", "test"):
+        torch.save(index, root / "pickle_files" / f"{split}_c23.pickle")
+
+    wd = tmp_path / "work"  # SHARED workdir: runs/<id>/ckpt is collective
+    os.makedirs(wd)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            UD_COORD=f"127.0.0.1:{port}",
+            UD_PID=str(pid),
+            UD_REPO=REPO,
+            UD_DATA=str(root),
+            UD_WORKDIR=str(wd),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, "-c", CHILD_ENGINE], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True)
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIHOST_ENGINE_OK {pid}" in out

@@ -27,7 +27,10 @@ class CheckpointManager:
     def __init__(self, run_dir: str):
         self.run_dir = os.path.abspath(run_dir)
         self.ckpt_dir = os.path.join(self.run_dir, "ckpt")
-        os.makedirs(self.ckpt_dir, exist_ok=True)
+        # primary-only: a non-primary process pre-creating the run dir races
+        # the engine's duplicate-id collision check on process 0
+        if jax.process_index() == 0:
+            os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, best: bool) -> str:
@@ -35,10 +38,17 @@ class CheckpointManager:
 
     def save(self, state: TrainState, meta: dict, best: bool = False):
         """Save state + scalar metadata; mirrors the per-validation
-        best/latest scheme (engine/forgery_engine.py:215-223)."""
+        best/latest scheme (engine/forgery_engine.py:215-223).
+
+        COLLECTIVE in multihost: orbax's save synchronizes every process
+        (sync_global_processes) and the primary host writes — call this from
+        ALL processes (a process-0-only call deadlocks the others at the
+        next collective). The surrounding filesystem housekeeping (tmp
+        cleanup, sidecar, atomic renames) runs on the primary only."""
         path = self._path(best)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        primary = jax.process_index() == 0
+        if primary and os.path.exists(tmp):
             import shutil
 
             shutil.rmtree(tmp)
@@ -50,6 +60,8 @@ class CheckpointManager:
             state = state.replace(lr_scale=None)
         self._ckptr.save(tmp, jax.device_get(state))
         self._ckptr.wait_until_finished()
+        if not primary:
+            return
         with open(tmp + ".meta.json", "w") as f:
             json.dump(meta, f)
         if os.path.exists(path):

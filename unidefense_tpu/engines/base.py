@@ -76,6 +76,7 @@ class AbstractEngine:
         self.num_devices = config_cfg.get("num_devices")
         self.mesh = create_mesh(self.num_devices)
         self.n_dev = self.mesh.devices.size
+        self.n_dev_local = len(self.mesh.local_devices)
         self.multi_device = self.n_dev > 1
 
         self.best_acc = 0.0
@@ -235,6 +236,8 @@ class AbstractEngine:
                          "training from scratch.")
 
         eval_fn = make_eval_step(model, preprocess=device_tf)
+        self._eval_fn = eval_fn  # raw fn for the process-local eval path
+        self._local_eval_cached = None
         if train:
             step_fn = make_train_step(
                 model,
@@ -312,7 +315,9 @@ class AbstractEngine:
         self.state = self.state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
     def _save_ckpt(self, step: int, best: bool = False):
-        if self.ckpt is not None and jax.process_index() == 0:
+        # collective: every process enters (orbax barriers internally; only
+        # the primary host writes — see CheckpointManager.save)
+        if self.ckpt is not None:
             self.ckpt.save(self.state, self._meta(step), best=best)
 
     def _current_lr(self, cur_step: int) -> float:
@@ -375,33 +380,92 @@ class AbstractEngine:
                 out.append(getattr(self, name))
         return out
 
+    def _stream_batch(self, per_dev: int) -> int:
+        """Per-PROCESS draw for a training stream whose global per-step need
+        is per_dev × n_dev samples. DistributedSampler parity: each process
+        loads exactly the rows its LOCAL devices consume (round-2 bug: the
+        engines drew the full GLOBAL batch per process, so under
+        process_count > 1 half the decoded samples were silently dropped and
+        per-epoch coverage broke)."""
+        total = per_dev * self.n_dev
+        nproc = jax.process_count()
+        if total % nproc:
+            raise ValueError(
+                f"global stream batch {total} not divisible by {nproc} processes"
+            )
+        return total // nproc
+
     def assemble_batch(self, images_real, labels_real, images_fake, labels_fake):
-        """Global batch with the per-device real-first layout
-        (parallel/mesh.split_device_batch)."""
-        if self.multi_device:
+        """Batch with the per-device real-first layout
+        (parallel/mesh.split_device_batch). Inputs are this PROCESS's rows;
+        multihost: the global array is formed from the per-process shards
+        (jax.make_array_from_process_local_data), so the jitted step sees one
+        global batch whose addressable rows are exactly what this process
+        decoded."""
+        if self.n_dev_local > 1:
             imgs, lbls = split_device_batch(
-                images_real, labels_real, images_fake, labels_fake, self.n_dev
+                images_real, labels_real, images_fake, labels_fake,
+                self.n_dev_local,
             )
         else:
             imgs = np.concatenate([images_real, images_fake], axis=0)
             lbls = np.concatenate([labels_real, labels_fake], axis=0)
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+            return {
+                "image": jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(imgs)),
+                "label": jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(lbls)),
+            }
         return {"image": jnp.asarray(imgs), "label": jnp.asarray(lbls)}
+
+    def _local_eval_step(self):
+        """Eval step that involves ONLY this process's devices. Single
+        process: the global eval step. Multihost: a fresh jit over a
+        process-local mesh — eval has no collectives, and the striped
+        score_dataset / recon-figure paths must not enter a cross-host
+        rendezvous from one process (deadlock)."""
+        if self._local_eval_cached is None:
+            if jax.process_count() > 1:
+                from jax.sharding import Mesh
+
+                local_mesh = Mesh(
+                    np.asarray(self.mesh.local_devices), (DATA_AXIS,)
+                )
+                self._local_eval_cached = shard_eval_step(self._eval_fn, local_mesh)
+            else:
+                self._local_eval_cached = self.eval_step
+        return self._local_eval_cached
 
     def score_dataset(self, dataset, batch_size: int, load_kwargs: dict, step: int,
                       desc: str = "val") -> tuple[dict, dict]:
         """Score a whole split with fixed-shape batches (last batch padded by
         repetition so the jitted eval step never recompiles), grouping frame
-        probabilities by video (engine/forgery_engine.py:336-360)."""
-        if self.multi_device and batch_size % self.n_dev != 0:
-            batch_size = -(-batch_size // self.n_dev) * self.n_dev  # round up
-        n = len(dataset)
+        probabilities by video (engine/forgery_engine.py:336-360).
+
+        Multihost: each process scores the stripe i ≡ process_index (mod
+        process_count) with a process-LOCAL eval step; gather_eval_output
+        merges the disjoint per-process dicts — the same
+        eval-shard-then-all_gather_object topology as the reference's DDP
+        validation (engine/forgery_engine.py:336-375)."""
+        pid, nproc = jax.process_index(), jax.process_count()
+        n_eval_dev = self.n_dev_local if nproc > 1 else self.n_dev
+        if n_eval_dev > 1 and batch_size % n_eval_dev != 0:
+            batch_size = -(-batch_size // n_eval_dev) * n_eval_dev  # round up
+        stripe = list(range(pid, len(dataset), nproc))
+        n = len(stripe)
         prob_dict: dict[str, list] = {}
         tgt_dict: dict[str, list] = {}
         eval_rng = jax.random.fold_in(self.base_rng, 777)
         num_batches = -(-n // batch_size)
+        eval_step = self._local_eval_step()
 
         def _select(b):
-            idx = list(range(b * batch_size, min(n, (b + 1) * batch_size)))
+            idx = [stripe[i] for i in range(b * batch_size,
+                                            min(n, (b + 1) * batch_size))]
             n_valid = len(idx)
             while len(idx) < batch_size:
                 idx.append(idx[-1])
@@ -428,7 +492,7 @@ class AbstractEngine:
                 nb = b + lookahead
                 if nb < num_batches:
                     futs[nb] = pool.submit(_load, _select(nb))
-                probs, _, _ = self.eval_step(
+                probs, _, _ = eval_step(
                     self.state.params, self.state.batch_stats,
                     jnp.asarray(out["images"]), jax.random.fold_in(eval_rng, b),
                 )
@@ -461,7 +525,9 @@ class AbstractEngine:
         labels = [int(dataset[i][1]) for i in idx]
         out = dataset.load_item(items, labels, **load_kwargs)
         imgs = jnp.asarray(out["images"])
-        _, cls_out, rec = self.eval_step(
+        # process-local eval: this figure renders on process 0 only, so a
+        # global eval step would deadlock in multihost
+        _, cls_out, rec = self._local_eval_step()(
             self.state.params, self.state.batch_stats, imgs, self.base_rng
         )
         inputs = np.asarray(imgs, np.float32) / 255.0

@@ -74,7 +74,8 @@ class ForgeryEngine(AbstractEngine):
         bs = data_cfg["train_batch_size"]
         self.per_dev_real = bs
         self.per_dev_fake = bs
-        global_bs = bs * self.n_dev
+        # per-PROCESS stream draw (global need / process_count)
+        proc_bs = self._stream_batch(bs)
         shard = (jax.process_index(), jax.process_count())
         # pad_last=True: the jitted step's real/fake split is static, so the
         # final partial chunk of each epoch is wrap-around padded to full size
@@ -82,13 +83,13 @@ class ForgeryEngine(AbstractEngine):
         # tests/test_pipeline.py::test_fe_partial_batch_*)
         self.real_batcher = InfiniteBatcher(
             self.train_real_set,
-            EpochSampler(len(self.train_real_set), global_bs, shuffle=True,
+            EpochSampler(len(self.train_real_set), proc_bs, shuffle=True,
                          pad_last=True, shard_id=shard[0], num_shards=shard[1]),
             load_kwargs={"crop": self.crop},
         )
         self.fake_batcher = InfiniteBatcher(
             self.train_fake_set,
-            EpochSampler(len(self.train_fake_set), global_bs, shuffle=True,
+            EpochSampler(len(self.train_fake_set), proc_bs, shuffle=True,
                          pad_last=True, shard_id=shard[0], num_shards=shard[1]),
             load_kwargs={"crop": self.crop},
         )

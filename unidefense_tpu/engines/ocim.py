@@ -52,7 +52,8 @@ class OCIMEngine(AbstractEngine):
         shard = (jax.process_index(), jax.process_count())
         self.batchers = []
         for sub in self.train_set.datasets:
-            sampler = EpochSampler(len(sub), bs * self.n_dev, shuffle=True,
+            # per-PROCESS draw of this domain stream (global need / nproc)
+            sampler = EpochSampler(len(sub), self._stream_batch(bs), shuffle=True,
                                    drop_last=True, shard_id=shard[0], num_shards=shard[1])
             self.batchers.append(
                 InfiniteBatcher(sub, sampler,
@@ -104,12 +105,13 @@ class OCIMEngine(AbstractEngine):
         """Each domain stream contributes bs rows to EVERY device's local
         batch (the reference gives each DDP rank all source domains,
         engine/ocim_engine.py:229-255): split each per-domain array into
-        per-device chunks and regroup device-major."""
-        if self.n_dev == 1:
+        per-LOCAL-device chunks and regroup device-major (multihost: the
+        arrays hold only this process's rows)."""
+        if self.n_dev_local == 1:
             return np.concatenate(arrs, 0)
-        chunks = [np.split(a, self.n_dev) for a in arrs]
+        chunks = [np.split(a, self.n_dev_local) for a in arrs]
         return np.concatenate(
-            [c for d in range(self.n_dev) for dom in chunks for c in (dom[d],)], 0
+            [c for d in range(self.n_dev_local) for dom in chunks for c in (dom[d],)], 0
         )
 
     def _select_batch(self, cur_step: int):

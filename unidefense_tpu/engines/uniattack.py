@@ -71,13 +71,13 @@ class UniAttackEngine(AbstractEngine):
                        "dataset_label_map": self.dlabel_map}
         self.real_batcher = InfiniteBatcher(
             self.train_real_set,
-            EpochSampler(len(self.train_real_set), bs * self.n_dev, shuffle=True,
+            EpochSampler(len(self.train_real_set), self._stream_batch(bs), shuffle=True,
                          drop_last=True, shard_id=shard[0], num_shards=shard[1]),
             load_kwargs=load_kwargs,
         )
         self.fake_batcher = InfiniteBatcher(
             self.train_fake_set,
-            EpochSampler(len(self.train_fake_set), bs * self.n_dev, shuffle=True,
+            EpochSampler(len(self.train_fake_set), self._stream_batch(bs), shuffle=True,
                          drop_last=True, shard_id=shard[0], num_shards=shard[1]),
             load_kwargs=load_kwargs,
         )
