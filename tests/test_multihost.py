@@ -325,3 +325,113 @@ def test_two_process_forgery_engine(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_ENGINE_OK {pid}" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-3: OCIM across two processes — the per-domain stream draws and the
+# device-major domain interleave (`_interleave_domains`, now over LOCAL
+# devices) are the one multihost batch-assembly path FE does not cover.
+
+CHILD_OCIM = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+jax.distributed.initialize(
+    coordinator_address=os.environ["UD_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["UD_PID"]),
+)
+sys.path.insert(0, os.environ["UD_REPO"])
+import hashlib
+import numpy as np
+
+from tests.helpers import MiniUniDefense
+from unidefense_tpu.models import registry
+registry.MODEL["MINI"] = MiniUniDefense
+
+os.chdir(os.environ["UD_WORKDIR"])
+
+tf = [
+    {"name": "Resize", "params": {"height": 16, "width": 16}},
+    {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+]
+ds_options = {
+    "root": os.environ["UD_DATA"],
+    "O_root": "Oulu_NPU", "C_root": "CASIA_database", "M_root": "MSU-MFSD",
+    "use_lmdb": True,
+    "train_dataset": ["C", "O"], "dev_dataset": ["M"], "test_dataset": ["M"],
+    "num_steps": 2, "log_steps": 1, "val_steps": 2,
+    "train_transforms": tf, "dev_transforms": tf, "test_transforms": tf,
+}
+import unidefense_tpu.engines.ocim as ocim_mod
+ocim_mod.load_dataset_config = lambda _c: dict(ds_options)
+config = {
+    "model": {"name": "MINI", "num_classes": 2},
+    "config": {"optimizer": {"name": "adamw", "lr": 1e-3},
+               "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+               "lambda_mask": 0.1, "lambda_fac": 0.1,
+               "crop": "4p", "warmup_step": 0, "resume": False,
+               "id": "mh-ocim", "debug": False, "offline": True},
+    "data": {"train_batch_size": 1, "val_batch_size": 4, "num_workers": 1,
+             "file": "<inline>"},
+}
+pid = jax.process_index()
+eng = ocim_mod.OCIMEngine(config, stage="Train")
+assert eng.n_dev == 4 and eng.n_dev_local == 2
+assert len(eng.batchers) == 4  # 2 domains x (real, fake)
+# per-process draw per domain stream = bs * n_dev / nproc = 2
+assert eng.batchers[0].sampler.batch_size == 2
+eng.train()
+assert int(eng.state.step) == 2
+
+from unidefense_tpu.parallel.mesh import all_gather_objects
+leaves = jax.tree.leaves(jax.device_get(eng.state.params))
+digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)).hexdigest()
+got = all_gather_objects(digest, float(eng.best_auc))
+assert got[0][0] == got[1][0], "param divergence across processes"
+assert abs(got[0][1] - got[1][1]) < 1e-12
+print("MULTIHOST_OCIM_OK", pid, flush=True)
+"""
+
+
+def test_two_process_ocim_engine(tmp_path):
+    from tests.test_engine_protocols import _make_fas_domain
+
+    root = str(tmp_path / "fas")
+    for dom in ("Oulu_NPU", "CASIA_database", "MSU-MFSD"):
+        _make_fas_domain(root, dom, n_videos=3, frames=4)
+
+    wd = tmp_path / "work"
+    os.makedirs(wd)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            UD_COORD=f"127.0.0.1:{port}",
+            UD_PID=str(pid),
+            UD_REPO=REPO,
+            UD_DATA=root,
+            UD_WORKDIR=str(wd),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, "-c", CHILD_OCIM], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True)
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIHOST_OCIM_OK {pid}" in out
