@@ -155,3 +155,58 @@ def test_profiler_trace_option(fe_config):
         os.path.join(engine.run_dir, "profile", "**", "*"), recursive=True
     )
     assert any(os.path.isfile(f) for f in trace_files), "no trace files written"
+
+
+def test_resume_bitwise_equivalence(fe_config):
+    """Elastic-restart guarantee beyond the reference (whose resume path
+    raises NotImplementedError): crash after step 4, restart with
+    `resume: true` — the final TrainState at step 8 is BITWISE equal to an
+    uninterrupted 8-step run. Holds because the PRNG is step-indexed
+    (fold_in(cur_step)), the data stream fast-forwards deterministically,
+    and the checkpoint carries params + BN stats + optimizer state + step."""
+    import copy
+
+    import jax
+    import yaml as _yaml
+
+    from unidefense_tpu.engines import get_engine
+
+    ds = _yaml.safe_load(open(fe_config["data"]["file"]))
+    ds["num_steps"] = 8  # same KL-switch constant for every run
+    p8 = fe_config["data"]["file"] + ".8.yml"
+    with open(p8, "w") as f:
+        f.write(_yaml.dump(ds))
+
+    straight = copy.deepcopy(fe_config)
+    straight["data"]["file"] = p8
+    straight["config"]["id"] = "straight-8"
+    eng_a = get_engine("FE")(straight, stage="Train")
+    eng_a.train()
+    assert int(eng_a.state.step) == 8
+
+    crashy = copy.deepcopy(fe_config)
+    crashy["data"]["file"] = p8
+    crashy["config"]["id"] = "crashy-8"
+    eng_b = get_engine("FE")(crashy, stage="Train")
+    eng_b.num_steps = 4  # simulate preemption after step 4 (ckpt at val 4)
+    eng_b.train()
+    assert int(eng_b.state.step) == 4
+
+    resumed = copy.deepcopy(fe_config)
+    resumed["data"]["file"] = p8
+    resumed["config"].update(id="crashy-8", resume=True)
+    eng_c = get_engine("FE")(resumed, stage="Train")
+    assert eng_c.start_step == 5
+    eng_c.train()
+    assert int(eng_c.state.step) == 8
+
+    for name, tree_a, tree_c in (
+        ("params", eng_a.state.params, eng_c.state.params),
+        ("batch_stats", eng_a.state.batch_stats, eng_c.state.batch_stats),
+        ("opt_state", eng_a.state.opt_state, eng_c.state.opt_state),
+    ):
+        for a, c in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_c)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(c),
+                err_msg=f"resume divergence in {name}",
+            )
