@@ -237,3 +237,82 @@ def test_full_udeb4_model_parity(ref_modules):
         np.asarray(ours["loss_dict"]["freq"]), ref["loss_dict"]["freq"].numpy(),
         atol=5e-3, rtol=5e-3,
     )
+
+
+def test_export_round_trip_udr18():
+    """flax -> torch export is the exact inverse of the torch -> flax
+    conversion: every tensor of the reference UDR18 state_dict survives the
+    round trip bitwise (and the export carries num_batches_tracked)."""
+    _install_stubs()
+    from model.unidefense import UniDefenseModelRes18 as TorchUD  # noqa
+
+    from unidefense_tpu.models.convert import (
+        export_torch_state_dict,
+        load_torch_backbone,
+    )
+    from unidefense_tpu.models.registry import load_model
+
+    torch.manual_seed(3)
+    tnet = TorchUD(extractor="resnet18", num_classes=2)
+    tnet.eval()
+    sd_orig = {k: v.detach().cpu().numpy() for k, v in tnet.state_dict().items()}
+
+    fnet = load_model("UDR18")()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.asarray(x), train=False
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "unidefense",
+                                    strict=True)
+
+    sd_back = export_torch_state_dict(variables, "unidefense")
+    missing = [k for k in sd_orig
+               if k not in sd_back and "num_batches_tracked" not in k]
+    assert not missing, f"export lost keys: {missing[:10]}"
+    checked = 0
+    for k, v in sd_orig.items():
+        if "num_batches_tracked" in k:
+            assert k in sd_back  # re-created (zeroed) entries
+            continue
+        np.testing.assert_array_equal(sd_back[k], v, err_msg=k)
+        checked += 1
+    assert checked > 100
+
+
+def test_save_torch_checkpoint_reference_loadable(tmp_path):
+    """save_torch_checkpoint writes the reference's {'model': sd} format and
+    the reference model load_state_dict-accepts it."""
+    _install_stubs()
+    from model.unidefense import UniDefenseModelRes18 as TorchUD  # noqa
+
+    from unidefense_tpu.models.convert import (
+        load_torch_backbone,
+        save_torch_checkpoint,
+    )
+    from unidefense_tpu.models.registry import load_model
+
+    torch.manual_seed(4)
+    tnet = TorchUD(extractor="resnet18", num_classes=2)
+    fnet = load_model("UDR18")()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "unidefense",
+                                    strict=True)
+
+    path = str(tmp_path / "exported.bin")
+    save_torch_checkpoint(variables, path, step=123)
+    ckpt = torch.load(path, weights_only=False)
+    assert ckpt["step"] == 123
+    tnet2 = TorchUD(extractor="resnet18", num_classes=2)
+    incompat = tnet2.load_state_dict(ckpt["model"], strict=True)
+    assert not incompat.missing_keys and not incompat.unexpected_keys
+    for k, v in tnet.state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        np.testing.assert_array_equal(
+            tnet2.state_dict()[k].numpy(), v.detach().numpy(), err_msg=k)

@@ -239,3 +239,70 @@ def load_pretrained_extractor(variables: dict, weights_path: str, model_name: st
     for coll in converted:
         new_vars[coll][sub] = converted[coll]
     return new_vars
+
+
+# ----------------------------------------------------------------- export
+# Reverse direction: flax variables -> reference-compatible torch state_dict,
+# so a model trained HERE runs inside the reference codebase (checkpoints
+# interchangeable both ways; the reference's test path loads
+# {'model': state_dict} — engine/forgery_engine.py:200-209).
+
+
+def _deconvert_value(path: tuple, flax_val: np.ndarray) -> np.ndarray:
+    """Inverse of _convert_value's layout transforms."""
+    leaf = path[-1]
+    v = np.asarray(flax_val, np.float32)
+    if leaf == "kernel":
+        if v.ndim == 4 and "deconv" in path:
+            # (kh, kw, in, out) -> torch ConvTranspose2d (in, out, kh, kw)
+            return np.ascontiguousarray(v.transpose(2, 3, 0, 1))
+        if v.ndim == 4:  # (kh, kw, in, out) -> torch conv (out, in, kh, kw)
+            return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        if v.ndim == 2:  # dense
+            return np.ascontiguousarray(v.T)
+    return np.ascontiguousarray(v)
+
+
+def export_torch_state_dict(variables: dict, arch: str = "unidefense") -> dict:
+    """flax {'params', 'batch_stats'} -> torch state_dict (numpy values).
+
+    Exact inverse of load_torch_backbone: the same per-path key mapping, the
+    inverse layout transforms, plus zeroed `num_batches_tracked` entries for
+    every BatchNorm (torch state_dicts carry them; the reference loads
+    non-strict so zeros are safe). Round-trip pinned by
+    tests/test_convert.py::test_export_round_trip*."""
+    key_fn = _KEY_FNS[arch]
+    sd: dict = {}
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        import jax
+
+        flat = flatten_dict(jax.tree.map(np.asarray, variables[coll]))
+        for path, val in flat.items():
+            tk = key_fn(path, coll)
+            if tk is None:
+                continue
+            sd[tk] = _deconvert_value(path, val)
+            if path[-1] == "mean":  # one per BN module
+                sd[tk.rsplit(".", 1)[0] + ".num_batches_tracked"] = np.zeros((), np.int64)
+    # the reference's BN bottleneck keeps a FROZEN zero bias in its
+    # state_dict (model/unidefense.py:104-107); our layer omits the
+    # parameter entirely — materialize the zeros it expects
+    if "bottleneck.weight" in sd and "bottleneck.bias" not in sd:
+        sd["bottleneck.bias"] = np.zeros_like(sd["bottleneck.weight"])
+    return sd
+
+
+def save_torch_checkpoint(variables: dict, out_path: str, arch: str = "unidefense",
+                          step: int = 0, extra_meta: Optional[dict] = None):
+    """Write a reference-loadable checkpoint: torch.save({'model': sd, ...})
+    with tensors, matching the reference's save format
+    (engine/forgery_engine.py:215-223)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v))  # copy: writable tensor
+          for k, v in export_torch_state_dict(variables, arch).items()}
+    payload = {"model": sd, "step": step}
+    payload.update(extra_meta or {})
+    torch.save(payload, out_path)
