@@ -435,3 +435,117 @@ def test_two_process_ocim_engine(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OCIM_OK {pid}" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-3: UniAttack engine across two processes — the val-EER threshold
+# calibration runs over TWO striped process-local eval splits per validation
+# and both the threshold and the best-metrics must come out identical.
+
+CHILD_UE = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+jax.distributed.initialize(
+    coordinator_address=os.environ["UD_COORD"],
+    num_processes=2,
+    process_id=int(os.environ["UD_PID"]),
+)
+sys.path.insert(0, os.environ["UD_REPO"])
+import hashlib
+import numpy as np
+
+from tests.helpers import MiniUniDefense
+from unidefense_tpu.models import registry
+registry.MODEL["MINI"] = MiniUniDefense
+
+os.chdir(os.environ["UD_WORKDIR"])
+
+tf = [
+    {"name": "Resize", "params": {"height": 16, "width": 16}},
+    {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+]
+ds_options = {
+    "root": os.environ["UD_TMP"], "name": "UniAttack",
+    "FFpp_root": os.environ["UD_FFPP"], "OULU_root": os.environ["UD_OULU"],
+    "train_real_method": ["FFpp-Real", "OULU-Real"],
+    "train_fake_method": ["FFpp-DF", "OULU-Fake"],
+    "val_real_method": ["FFpp-Real"], "val_fake_method": ["FFpp-DF"],
+    "test_method": ["OULU-Real", "OULU-Fake"],
+    "num_steps": 2, "log_steps": 1, "val_steps": 2,
+    "train_transforms": tf, "val_transforms": tf, "test_transforms": tf,
+}
+import unidefense_tpu.engines.uniattack as ue_mod
+ue_mod.load_dataset_config = lambda _c: dict(ds_options)
+config = {
+    "model": {"name": "MINI", "num_classes": 2},
+    "config": {"optimizer": {"name": "adamw", "lr": 1e-3},
+               "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+               "lambda_mask": 0.1, "lambda_fac": 0.1,
+               "crop": "nocrop", "warmup_step": 0, "resume": False,
+               "id": "mh-ue", "debug": False, "offline": True,
+               "use_domain_label": False},
+    "data": {"train_batch_size": 1, "val_batch_size": 4, "num_workers": 1,
+             "file": "<inline>"},
+}
+pid = jax.process_index()
+eng = ue_mod.UniAttackEngine(config, stage="Train")
+assert eng.n_dev == 4 and eng.n_dev_local == 2
+eng.train()
+assert int(eng.state.step) == 2
+
+from unidefense_tpu.parallel.mesh import all_gather_objects
+leaves = jax.tree.leaves(jax.device_get(eng.state.params))
+digest = hashlib.sha256(b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)).hexdigest()
+got = all_gather_objects(digest, float(eng.best_thres), float(eng.best_hter_frame))
+assert got[0][0] == got[1][0], "param divergence across processes"
+assert abs(got[0][1] - got[1][1]) < 1e-12, "val-EER threshold diverged"
+assert abs(got[0][2] - got[1][2]) < 1e-12, "best frame-ACER diverged"
+print("MULTIHOST_UE_OK", pid, flush=True)
+"""
+
+
+def test_two_process_uniattack_engine(tmp_path):
+    from tests.test_engine_protocols import _make_ffpp_subset, _make_oulu_subset
+
+    ffpp_root = str(tmp_path / "FFpp")
+    oulu_root = str(tmp_path / "OULU")
+    _make_ffpp_subset(ffpp_root, n_videos=3, frames=4)
+    _make_oulu_subset(oulu_root)
+
+    wd = tmp_path / "work"
+    os.makedirs(wd)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            UD_COORD=f"127.0.0.1:{port}",
+            UD_PID=str(pid),
+            UD_REPO=REPO,
+            UD_TMP=str(tmp_path),
+            UD_FFPP=ffpp_root,
+            UD_OULU=oulu_root,
+            UD_WORKDIR=str(wd),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, "-c", CHILD_UE], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                             text=True)
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0]
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIHOST_UE_OK {pid}" in out
