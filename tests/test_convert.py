@@ -316,3 +316,49 @@ def test_save_torch_checkpoint_reference_loadable(tmp_path):
             continue
         np.testing.assert_array_equal(
             tnet2.state_dict()[k].numpy(), v.detach().numpy(), err_msg=k)
+
+
+@pytest.mark.skipif(not SLOW, reason="full b4 init is slow; UD_SLOW=1 enables")
+def test_export_round_trip_udeb4():
+    """Flagship export round-trip: the EfficientNet-b4 branch of the mapping
+    (backbone.* keys) is also a bitwise inverse."""
+    _install_stubs()
+    import model.efficientnet.model as tm  # noqa
+    from model.unidefense import UniDefenseModelEb4 as TorchUD  # noqa
+
+    from unidefense_tpu.models.convert import (
+        export_torch_state_dict,
+        load_torch_backbone,
+    )
+    from unidefense_tpu.models.registry import load_model
+
+    torch.manual_seed(5)
+    orig = tm.EfficientNet.from_pretrained
+    tm.EfficientNet.from_pretrained = classmethod(
+        lambda cls, name, weights_path=None, advprop=False, in_channels=3,
+        num_classes=1000, **kw: cls.from_name(name, num_classes=num_classes,
+                                              image_size=96, **kw)
+    )
+    try:
+        tnet = TorchUD(extractor="efficientnet-b4", num_classes=2)
+    finally:
+        tm.EfficientNet.from_pretrained = orig
+
+    fnet = load_model("UDEB4")()
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = jax.jit(fnet.init, static_argnames=("train",))(
+        rngs, jnp.zeros((1, 96, 96, 3), jnp.float32), train=False
+    )
+    variables = jax.tree.map(np.asarray, dict(variables))
+    variables = load_torch_backbone(variables, tnet.state_dict(), "unidefense",
+                                    strict=True)
+    sd_back = export_torch_state_dict(variables, "unidefense")
+    checked = 0
+    for k, v in tnet.state_dict().items():
+        if "num_batches_tracked" in k:
+            assert k in sd_back
+            continue
+        np.testing.assert_array_equal(sd_back[k], v.detach().cpu().numpy(),
+                                      err_msg=k)
+        checked += 1
+    assert checked > 500
