@@ -25,12 +25,15 @@ def main():
     ap.add_argument("--size", type=int, default=380)
     ap.add_argument("--batches", type=int, nargs="+", default=[32, 128])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only int8 serving path (ops/quant.py)")
     args = ap.parse_args()
 
     from unidefense_tpu.inference import Predictor
 
     for bs in args.batches:
-        pred = Predictor(args.model, input_size=args.size, batch_size=bs)
+        pred = Predictor(args.model, input_size=args.size, batch_size=bs,
+                         quantize=args.quantize)
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 256, (bs, args.size, args.size, 3), np.uint8)
         x = jnp.asarray(frames)
@@ -46,9 +49,11 @@ def main():
             best = min(best, time.time() - t0)
         ips = bs * args.steps / best
         print(json.dumps({
-            "metric": f"{args.model.lower()}_eval_images_per_sec_{args.size}",
+            "metric": f"{args.model.lower()}_eval_images_per_sec_{args.size}"
+                      + (f"_{args.quantize}" if args.quantize else ""),
             "batch": bs, "value": round(ips, 2), "unit": "images/sec",
             "ms_per_batch": round(best / args.steps * 1e3, 2),
+            "param_mb": round(pred.param_bytes() / 2**20, 1),
         }))
 
 

@@ -30,11 +30,22 @@ class Predictor:
     def __init__(self, model_name: str, model_cfg: Optional[dict] = None,
                  variables: Optional[dict] = None, input_size: int = 256,
                  batch_size: int = 32, dtype=jnp.bfloat16,
-                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                 quantize: Optional[str] = None,
+                 num_devices: Optional[int] = None):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
+        if num_devices and batch_size % num_devices:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by num_devices {num_devices}"
+            )
+        self.num_devices = num_devices
         self.model_name = model_name
         self.model_cfg = dict(model_cfg or {})
         self.input_size = input_size
         self.batch_size = batch_size
+        self.quantize = quantize
+        self._dtype = dtype
         self.model = build_model(model_name, self.model_cfg, dtype=dtype)
         self.device_tf = DevicePipeline(mean=mean, std=std, hflip_p=0.0)
 
@@ -44,9 +55,43 @@ class Predictor:
             variables = jax.jit(self.model.init, static_argnames=("train",))(
                 {"params": rng, "dropout": rng}, sample, train=False
             )
-        self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
-        self._eval = jax.jit(make_eval_step(self.model, preprocess=self.device_tf))
+        self._install_params(variables["params"])
+
+    def _install_params(self, params) -> None:
+        """Store (optionally int8-quantized) params and build the jitted eval.
+
+        With quantize='int8' the >=2-D weights are held in HBM as int8 +
+        per-channel scales (ops/quant.py) and dequantized to the compute
+        dtype INSIDE the jitted call — 4x smaller weight footprint, same
+        probabilities to ~1e-2 (tests/test_quant.py pins the parity)."""
+        base_eval = make_eval_step(self.model, preprocess=self.device_tf)
+        if self.quantize == "int8":
+            from unidefense_tpu.ops.quant import dequantize_tree, quantize_tree
+
+            self.params = quantize_tree(params)
+            dtype = self._dtype
+
+            def eval_fn(params_q, batch_stats, x, rng=None):
+                return base_eval(dequantize_tree(params_q, dtype), batch_stats, x, rng)
+        else:
+            self.params = params
+            eval_fn = base_eval
+        if self.num_devices and self.num_devices > 1:
+            # data-parallel serving: params replicated, frames sharded on the
+            # batch axis over a 1-D device mesh (parallel/mesh.py) — scales
+            # eval over a pod slice with no collectives
+            from unidefense_tpu.parallel.mesh import create_mesh, shard_eval_step
+
+            self._eval = shard_eval_step(eval_fn, create_mesh(self.num_devices))
+        else:
+            self._eval = jax.jit(eval_fn)
+
+    def param_bytes(self) -> int:
+        """Parameter bytes as stored (int8-aware)."""
+        from unidefense_tpu.ops.quant import tree_nbytes
+
+        return tree_nbytes(self.params)
 
     # ----------------------------------------------------------- constructors
 
@@ -60,14 +105,14 @@ class Predictor:
 
         pred = cls(model_name, model_cfg, **kw)
         dummy_cfg = {"optimizer": {"name": "sgd", "lr": 0.0}}
-        tx, _ = build_optimizer(dummy_cfg, pred.params)
+        tx, _ = build_optimizer(dummy_cfg, {})
         state = create_train_state(
             pred.model, tx, jax.random.PRNGKey(0),
             jnp.zeros((1, pred.input_size, pred.input_size, 3), jnp.float32),
         )
         state, _ = CheckpointManager(run_dir).restore(state, best=best)
-        pred.params = state.params
         pred.batch_stats = state.batch_stats
+        pred._install_params(state.params)
         return pred
 
     @classmethod
@@ -77,14 +122,17 @@ class Predictor:
         released reference weights run directly."""
         from unidefense_tpu.models.convert import load_unidefense_checkpoint
 
+        # construct unquantized first: the converter needs the fp32 template
+        quantize = kw.pop("quantize", None)
         pred = cls(model_name, model_cfg, **kw)
         variables = load_unidefense_checkpoint(
             {"params": jax.device_get(pred.params),
              "batch_stats": jax.device_get(pred.batch_stats)},
             ckpt_path,
         )
-        pred.params = variables["params"]
         pred.batch_stats = variables["batch_stats"]
+        pred.quantize = quantize
+        pred._install_params(variables["params"])
         return pred
 
     # ----------------------------------------------------------------- scoring
