@@ -17,6 +17,13 @@ variant, not fatal.
 
 Usage: python tools/xla_sweep.py [--size 256] [--steps 10] [--rounds 4]
 Run ALONE on the box. Prints one JSON line per variant + a summary line.
+
+MEASURED (2026-08-17, v5e, 256² b10+10; artifact artifacts/xla_sweep_256.json):
+every variant LOSES — lhs 0.97×, vmem64 0.92×, vmem128 0.71×, lhs+vmem64
+0.90×. The default compile already wins: LHS is evidently on by default on
+this runtime, and raising the scoped-VMEM limit crowds out the working
+buffers of the large conv fusions (the bigger the limit, the worse). The
+256² headroom is architectural, not a compiler-knob problem.
 """
 
 import argparse
