@@ -93,3 +93,13 @@ def test_predictor_int8_rejects_unknown_mode():
 
     with pytest.raises(ValueError):
         Predictor("UDR18", quantize="fp4")
+
+
+def test_quantize_validated_on_reinstall(predictors):
+    # the alternate constructors (from_run / from_torch_checkpoint) assign
+    # self.quantize AFTER __init__ and then reinstall — the mode check must
+    # live in _install_params so that path can't silently serve unquantized
+    p32, _ = predictors
+    p32.quantize = "int4"
+    with pytest.raises(ValueError, match="int4"):
+        p32._install_params(p32.params)

@@ -70,36 +70,32 @@ def main():
                         jnp.bfloat16)
         wp = jnp.asarray(rng.normal(size=(2 * c, 2 * c)).astype(np.float32),
                          jnp.bfloat16)
-        t_xla = _time_fwd_bwd(sfconv_freq_spatial, x, wp, args.iters)
-        row = f"{h}x{w}/C{c:<4} {t_xla:8.2f}"
-        t_v2 = t_v3 = None
-        if pallas_eligible(x.shape):
-            t_v2 = _time_fwd_bwd(lambda a, b: sfconv_freq_pallas(a, b), x, wp,
-                                 args.iters)
-        row += f" {t_v2:8.2f}" if t_v2 is not None else f" {'-':>8}"
-        if v3_eligible(x.shape):
-            try:
-                t_v3 = _time_fwd_bwd(lambda a, b: sfconv_freq_pallas_v3(a, b),
-                                     x, wp, args.iters)
-            except Exception as e:
-                row += f" {'ERR':>8}  {type(e).__name__}: {str(e)[:80]}"
-                print(row)
+        # time every eligible impl independently; a compile failure becomes
+        # an ERR cell for that column only (never drops the others' numbers)
+        impls = [("xla", sfconv_freq_spatial, True),
+                 ("v2", sfconv_freq_pallas, pallas_eligible(x.shape)),
+                 ("v3", sfconv_freq_pallas_v3, v3_eligible(x.shape)),
+                 ("v4", sfconv_freq_pallas_v4, True)]
+        times: dict = {}
+        errs = []
+        row = f"{h}x{w}/C{c:<4}"
+        for name, fn, eligible in impls:
+            if not eligible:
+                row += f" {'-':>8}"
                 continue
-        row += f" {t_v3:8.2f}" if t_v3 is not None else f" {'-':>8}"
-        t_v4 = None
-        if True:  # try v4 on every shape; compile errors are caught
             try:
-                t_v4 = _time_fwd_bwd(lambda a, b: sfconv_freq_pallas_v4(a, b),
-                                     x, wp, args.iters)
+                times[name] = _time_fwd_bwd(fn, x, wp, args.iters)
+                row += f" {times[name]:8.2f}"
             except Exception as e:
-                row += f" {'ERR':>8}  {type(e).__name__}: {str(e)[:60]}"
-                print(row)
-                continue
-        row += f" {t_v4:8.2f}" if t_v4 is not None else f" {'-':>8}"
-        best = min(v for v in (t_xla, t_v2, t_v3, t_v4) if v is not None)
-        winner = ("xla" if best == t_xla else "v2" if best == t_v2
-                  else "v3" if best == t_v3 else "v4")
-        row += f"  R={_row_tile(h, w)} win={winner} ({t_xla / best:.2f}x)"
+                row += f" {'ERR':>8}"
+                errs.append(f"{name}: {type(e).__name__}: {str(e)[:60]}")
+        if times:
+            best_name = min(times, key=times.get)
+            best = times[best_name]
+            row += (f"  R={_row_tile(h, w)} win={best_name} "
+                    f"({times['xla'] / best:.2f}x)" if "xla" in times else "")
+        if errs:
+            row += "  [" + "; ".join(errs) + "]"
         print(row)
 
 
@@ -149,4 +145,5 @@ def interleaved(shapes=None, n=20, iters=20, rounds=3):
 
 
 if __name__ == "__main__" and os.environ.get("UD_SFB_INTERLEAVED"):
-    raise SystemExit(interleaved() and 0)
+    interleaved()
+    raise SystemExit(0)

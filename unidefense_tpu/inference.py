@@ -33,8 +33,6 @@ class Predictor:
                  mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                  quantize: Optional[str] = None,
                  num_devices: Optional[int] = None):
-        if quantize not in (None, "int8"):
-            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
         if num_devices and batch_size % num_devices:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by num_devices {num_devices}"
@@ -65,6 +63,13 @@ class Predictor:
         per-channel scales (ops/quant.py) and dequantized to the compute
         dtype INSIDE the jitted call — 4x smaller weight footprint, same
         probabilities to ~1e-2 (tests/test_quant.py pins the parity)."""
+        if self.quantize not in (None, "int8"):
+            # validated here (not only in __init__) so the alternate
+            # constructors that assign self.quantize post-construction get
+            # the same check instead of silently serving unquantized
+            raise ValueError(
+                f"unknown quantize mode {self.quantize!r} (use 'int8')"
+            )
         base_eval = make_eval_step(self.model, preprocess=self.device_tf)
         if self.quantize == "int8":
             from unidefense_tpu.ops.quant import dequantize_tree, quantize_tree
@@ -103,6 +108,10 @@ class Predictor:
         from unidefense_tpu.train.optim import build_optimizer
         from unidefense_tpu.train.step import create_train_state
 
+        # quantize AFTER restore only — quantizing the throwaway random-init
+        # params in __init__ would run the (jitted, but still compiled) sweep
+        # twice per construction
+        quantize = kw.pop("quantize", None)
         pred = cls(model_name, model_cfg, **kw)
         dummy_cfg = {"optimizer": {"name": "sgd", "lr": 0.0}}
         tx, _ = build_optimizer(dummy_cfg, {})
@@ -112,6 +121,7 @@ class Predictor:
         )
         state, _ = CheckpointManager(run_dir).restore(state, best=best)
         pred.batch_stats = state.batch_stats
+        pred.quantize = quantize
         pred._install_params(state.params)
         return pred
 

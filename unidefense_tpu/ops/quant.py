@@ -22,6 +22,7 @@ negligible fraction of the bytes and BN affine precision matters.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -76,10 +77,15 @@ def _is_q(x: Any) -> bool:
     return isinstance(x, QArray)
 
 
+@partial(jax.jit, static_argnums=1)
 def quantize_tree(params: Any, min_ndim: int = 2) -> Any:
     """Quantize every leaf with ndim >= min_ndim; smaller leaves pass through
     untouched (bitwise). Structure is preserved, so the result drops into the
-    same model.apply param slot after `dequantize_tree`."""
+    same model.apply param slot after `dequantize_tree`.
+
+    Jitted as ONE program over the whole tree: the eager form dispatched ~4
+    device ops per leaf, which costs seconds/op through the tunneled axon TPU
+    (CLAUDE.md gotcha 3) — minutes for UDEB4's hundreds of leaves."""
     return jax.tree.map(
         lambda w: quantize_array(w) if jnp.ndim(w) >= min_ndim else w, params
     )
