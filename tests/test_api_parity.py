@@ -120,3 +120,18 @@ def test_efficientnet_api():
     assert "efficientnet-b4" in VALID_MODELS
     assert get_image_size("efficientnet-b4") == 380
     assert get_image_size("efficientnet-b0") == 224
+
+
+def test_json_io_helpers(tmp_path):
+    """load_from_json / write_to_json (utils/io.py:8-27 API surface)."""
+    from unidefense_tpu.utils import load_from_json, write_to_json
+
+    path = str(tmp_path / "x.json")
+    write_to_json(path, {"a": 1, "b": [1, 2]})
+    assert load_from_json(path) == {"a": 1, "b": [1, 2]}
+    try:
+        write_to_json(str(tmp_path / "x.txt"), {})
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("non-.json filename must be rejected")

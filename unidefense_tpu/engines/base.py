@@ -154,6 +154,22 @@ class AbstractEngine:
             enabled=jax.process_index() == 0,
         )
 
+    def _setup_test_dir(self, options: dict):
+        """Resolve runs/<model>/<id>/ for Test stage and tee stdout to
+        test.txt (engine/forgery_engine.py:185-197: the reference redirects
+        test-mode output to `test.txt` in the existing run dir)."""
+        self.run_id = self.config_cfg["id"]
+        self.run_dir = os.path.join("runs", self.model_name, self.run_id)
+        assert os.path.exists(self.run_dir), (
+            f"Logging directory '{self.run_dir}' corrupted."
+        )
+        if jax.process_index() == 0:
+            print(f"Logging directory: {self.run_dir}.")
+            sys.stdout = Logger(os.path.join(self.run_dir, "test.txt"))
+            center_print("Test data configurations begins.")
+            print(options)
+            center_print("Test data configurations ends.")
+
     def _snapshot_sources(self):
         """Copy the model/engine source files and the config into the run dir
         for reproducibility (engine/abstract_engine.py:92-97 does this with

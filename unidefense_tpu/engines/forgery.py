@@ -116,11 +116,7 @@ class ForgeryEngine(AbstractEngine):
         self.test_batch_size = data_cfg.get("test_batch_size", 96)
         self.crop = config_cfg.get("crop", "nocrop")
 
-        self.run_id = config_cfg["id"]
-        import os
-
-        self.run_dir = os.path.join("runs", self.model_name, self.run_id)
-        assert os.path.exists(self.run_dir), f"Logging directory '{self.run_dir}' corrupted."
+        self._setup_test_dir(options)
 
         h, w = self.test_set.host_tf.height, self.test_set.host_tf.width
         self._build_training(

@@ -84,9 +84,7 @@ class OCIMEngine(AbstractEngine):
         self.test_batch_size = data_cfg.get("test_batch_size", 96)
         self.test_margin = float(config_cfg.get("test_margin", 0.3))
         self.crop = config_cfg.get("crop", "4p")
-        self.run_id = config_cfg["id"]
-        self.run_dir = os.path.join("runs", self.model_name, self.run_id)
-        assert os.path.exists(self.run_dir), f"Logging directory '{self.run_dir}' corrupted."
+        self._setup_test_dir(options)
         h, w = self.test_set.host_tf.height, self.test_set.host_tf.width
         self._build_training(
             (self.test_batch_size, h, w, 3), sum_real=1, sum_fake=1, num_steps=1,

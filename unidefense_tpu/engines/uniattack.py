@@ -105,9 +105,7 @@ class UniAttackEngine(AbstractEngine):
         self.val_batch_size = self.test_batch_size
         self.margin = config_cfg.get("margin")
         self.crop = config_cfg.get("crop", "nocrop")
-        self.run_id = config_cfg["id"]
-        self.run_dir = os.path.join("runs", self.model_name, self.run_id)
-        assert os.path.exists(self.run_dir), f"Logging directory '{self.run_dir}' corrupted."
+        self._setup_test_dir(options)
         h, w = self.test_set.host_tf.height, self.test_set.host_tf.width
         self._build_training(
             (self.test_batch_size, h, w, 3), sum_real=1, sum_fake=1, num_steps=1,

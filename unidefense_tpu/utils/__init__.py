@@ -1,3 +1,4 @@
+from unidefense_tpu.utils.io import load_from_json, write_to_json
 from unidefense_tpu.utils.metrics import cal_metrics, find_best_threshold, get_tpr_at_fpr
 from unidefense_tpu.utils.meters import AccMeter, AverageMeter, Timer
 
@@ -8,4 +9,6 @@ __all__ = [
     "AccMeter",
     "AverageMeter",
     "Timer",
+    "load_from_json",
+    "write_to_json",
 ]
