@@ -210,3 +210,55 @@ def test_resume_bitwise_equivalence(fe_config):
                 np.asarray(a), np.asarray(c),
                 err_msg=f"resume divergence in {name}",
             )
+
+
+def test_preemption_graceful_stop_and_resume(fe_config):
+    """SIGTERM mid-training (the TPU-fleet preemption signal) must finish the
+    in-flight step, save the latest checkpoint at exactly that step, exit the
+    train loop cleanly, and restore the previous signal handlers — so a
+    restart with `resume: true` continues the run (engines/base.py
+    _install_preemption_handler/_graceful_stop; the reference has no
+    preemption story and its resume raises NotImplementedError)."""
+    import copy
+    import json
+    import signal
+
+    import yaml as _yaml
+
+    from unidefense_tpu.engines import get_engine
+
+    ds = _yaml.safe_load(open(fe_config["data"]["file"]))
+    ds["num_steps"] = 8
+    p8 = fe_config["data"]["file"] + ".preempt.yml"
+    with open(p8, "w") as f:
+        f.write(_yaml.dump(ds))
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+
+    cfg = copy.deepcopy(fe_config)
+    cfg["data"]["file"] = p8
+    cfg["config"]["id"] = "preempt-8"
+    eng = get_engine("FE")(cfg, stage="Train")
+    orig_tick = eng._profile_tick
+
+    def tick(cur_step):
+        if cur_step == 3:  # deliver a REAL signal mid-loop, off the val cadence
+            os.kill(os.getpid(), signal.SIGTERM)
+        orig_tick(cur_step)
+
+    eng._profile_tick = tick
+    eng.train()
+    assert int(eng.state.step) == 3, "loop did not stop at the preempted step"
+    assert signal.getsignal(signal.SIGTERM) is prev_term, "handler not restored"
+
+    meta_path = os.path.join(eng.run_dir, "ckpt", "latest.meta.json")
+    with open(meta_path) as f:
+        assert json.load(f)["step"] == 3
+
+    resumed = copy.deepcopy(fe_config)
+    resumed["data"]["file"] = p8
+    resumed["config"].update(id="preempt-8", resume=True)
+    eng2 = get_engine("FE")(resumed, stage="Train")
+    assert eng2.start_step == 4
+    eng2.train()
+    assert int(eng2.state.step) == 8

@@ -210,6 +210,9 @@ def test_two_process_sharded_train_step():
 # samplers draw per-process stream batches, the global batch is formed from
 # process-local shards (assemble_batch), validation runs the striped
 # process-local eval + all_gather_objects merge, process 0 checkpoints.
+# Also covers multihost PREEMPTION agreement: a one-sided SIGTERM flag must
+# stop both processes at the same preempt_sync_steps boundary (the latest
+# save is collective).
 
 CHILD_ENGINE = r"""
 import os, sys
@@ -241,7 +244,7 @@ tf = [
 ds_options = {
     "root": os.environ["UD_DATA"], "name": "FFpp", "use_lmdb": False,
     "real_method": ["Origin"], "fake_method": ["Deepfakes"],
-    "compression": "c23", "num_steps": 2, "log_steps": 1, "val_steps": 2,
+    "compression": "c23", "num_steps": 4, "log_steps": 1, "val_steps": 2,
     "train_transforms": tf, "val_transforms": tf, "test_transforms": tf,
 }
 import unidefense_tpu.engines.forgery as fe_mod
@@ -252,7 +255,8 @@ config = {
                "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
                "lambda_mask": 0.1, "lambda_fac": 0.1,
                "crop": "nocrop", "warmup_step": 0, "resume": False,
-               "id": "mh-engine", "debug": False, "offline": True},
+               "id": "mh-engine", "debug": False, "offline": True,
+               "preempt_sync_steps": 2},
     "data": {"train_batch_size": 1, "val_batch_size": 4, "num_workers": 1,
              "file": "<inline>"},
 }
@@ -261,8 +265,24 @@ eng = fe_mod.ForgeryEngine(config, stage="Train")
 assert eng.n_dev == 4 and eng.n_dev_local == 2, (eng.n_dev, eng.n_dev_local)
 # per-process stream draw = bs * n_dev / nproc = 2
 assert eng.real_batcher.sampler.batch_size == 2
+
+# preemption agreement: the signal flag is raised on process 1 ONLY at step
+# 1; BOTH processes must agree at the step-2 sync boundary (collective flag
+# gather, engines/base.py _graceful_stop) and enter the collective latest
+# save together — a one-sided stop would deadlock the orbax barrier.
+orig_tick = eng._profile_tick
+def _tick(cur_step):
+    if cur_step == 1 and pid == 1:
+        eng._preempt_requested = True
+    orig_tick(cur_step)
+eng._profile_tick = _tick
+
 eng.train()
-assert int(eng.state.step) == 2
+assert int(eng.state.step) == 2, "agreed preemption stop at the sync boundary"
+if pid == 0:
+    import json
+    with open(os.path.join(eng.run_dir, "ckpt", "latest.meta.json")) as f:
+        assert json.load(f)["step"] == 2
 
 from unidefense_tpu.parallel.mesh import all_gather_objects
 leaves = jax.tree.leaves(jax.device_get(eng.state.params))

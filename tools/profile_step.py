@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # persistent compile cache (same as bench.py): the lambda-ablation variants
 # are each a fresh UDEB4 program, ~5 min cold on this runtime

@@ -35,7 +35,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("UD_JAX_CACHE", "/tmp/ud_jax_cache"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 import copy
-from typing import Any, Optional
+from typing import Optional
 
 import yaml
 

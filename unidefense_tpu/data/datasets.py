@@ -22,7 +22,6 @@ import pickle
 from glob import glob
 from os import listdir
 from os.path import join
-from typing import Optional
 
 import cv2
 import numpy as np

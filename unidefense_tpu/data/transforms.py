@@ -20,10 +20,9 @@ RandomBrightnessContrast, ColorJitter, OneOf.
 
 from __future__ import annotations
 
-import functools
 import threading
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import cv2
 import jax

@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -335,6 +335,78 @@ class AbstractEngine:
         # the primary host writes — see CheckpointManager.save)
         if self.ckpt is not None:
             self.ckpt.save(self.state, self._meta(step), best=best)
+
+    # ----------------------------------------------------- preemption handling
+
+    def _install_preemption_handler(self):
+        """Arm graceful-stop on SIGTERM/SIGINT for the duration of train().
+
+        TPU fleets preempt VMs with SIGTERM plus a grace window; the
+        reference has no story here (a signal kills the DDP rank mid-step and
+        its `resume: True` path raises NotImplementedError,
+        engine/forgery_engine.py:211-213). The handler only sets a flag; the
+        train loop finishes the in-flight step, saves the `latest`
+        checkpoint via _graceful_stop and returns cleanly, so a restart with
+        `resume: true` continues exactly. A second SIGINT falls through to
+        the previous handler (Ctrl-C twice still force-quits)."""
+        import signal
+
+        self._preempt_requested = False
+        self._prev_handlers = {}
+
+        def _handler(signum, frame):
+            if self._preempt_requested and signum == signal.SIGINT:
+                prev = self._prev_handlers.get(signal.SIGINT)
+                if callable(prev):
+                    prev(signum, frame)
+                return
+            self._preempt_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev_handlers[sig] = signal.signal(sig, _handler)
+            except ValueError:
+                # signal.signal only works on the main thread; engines driven
+                # from worker threads can still set _preempt_requested
+                pass
+
+    def _restore_preemption_handler(self):
+        import signal
+
+        for sig, prev in getattr(self, "_prev_handlers", {}).items():
+            try:
+                signal.signal(sig, prev)
+            except ValueError:
+                pass
+        self._prev_handlers = {}
+
+    def _graceful_stop(self, cur_step: int) -> bool:
+        """True if training should stop now; saves the latest checkpoint
+        first so the run is resumable from exactly this step.
+
+        Multihost: the orbax save is COLLECTIVE, so every process must agree
+        on the stop step — local flags are exchanged every
+        `config.preempt_sync_steps` steps (default 10; ~1-2 s of training,
+        well inside any preemption grace window) and a stop only happens at
+        those boundaries, where all processes see the same gathered flags."""
+        if jax.process_count() > 1:
+            sync_every = max(1, int(self.config_cfg.get("preempt_sync_steps", 10)))
+            if cur_step % sync_every:
+                return False
+            from unidefense_tpu.parallel.mesh import all_gather_objects
+
+            flags = all_gather_objects(bool(getattr(self, "_preempt_requested", False)))
+            stop = any(f[0] for f in flags)
+        else:
+            stop = bool(getattr(self, "_preempt_requested", False))
+        if not stop:
+            return False
+        self._mprint(
+            f"Preemption requested — saving latest checkpoint at step {cur_step}; "
+            "restart with `resume: true` to continue."
+        )
+        self._save_ckpt(cur_step, best=False)
+        return True
 
     def _current_lr(self, cur_step: int) -> float:
         """LR actually applied at this step: the count-based schedule times

@@ -8,7 +8,6 @@ with threshold='auto' (EER), best checkpoint by max(AUC - HTER) (:393-397).
 
 from __future__ import annotations
 
-import os
 
 import jax
 import numpy as np
@@ -143,31 +142,37 @@ class OCIMEngine(AbstractEngine):
         train_meter = DeviceMetricAccumulator()
         prefetch = self._make_prefetcher()
         rng = jax.random.fold_in(self.base_rng, 54321)
+        self._install_preemption_handler()
 
         cur_step = self.start_step - 1
-        for batch in prefetch:
-            cur_step += 1
-            self._profile_tick(cur_step)
-            self.state, metrics, cls_out = self.train_step(
-                self.state, batch, jax.random.fold_in(rng, cur_step)
-            )
-            train_meter.update(metrics, cls_out, batch["label"])
-            if cur_step % self.log_steps == 0 or cur_step % self.val_steps == 0:
-                host_metrics = {k: float(v) for k, v in metrics.items()}
-                snap = train_meter.snapshot()
-                iter_acc = snap["acc"]
-                if self.logger is not None and cur_step % self.log_steps == 0:
-                    info = {"train/acc": iter_acc,
-                            "train/lr": self._current_lr(cur_step)}
-                    info.update({f"train/{k}": v for k, v in snap["means"].items()})
-                    self.logger.log(info, cur_step)
-                self._mprint(
-                    "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, ACC %.4f"
-                    % (cur_step, self.num_steps, host_metrics.get("total_loss", 0.0),
-                       host_metrics.get("triplet_loss", 0.0), iter_acc)
+        try:
+            for batch in prefetch:
+                cur_step += 1
+                self._profile_tick(cur_step)
+                self.state, metrics, cls_out = self.train_step(
+                    self.state, batch, jax.random.fold_in(rng, cur_step)
                 )
-            if cur_step % self.val_steps == 0 and not self.debug:
-                self.validate(cur_step, timer)
+                train_meter.update(metrics, cls_out, batch["label"])
+                if cur_step % self.log_steps == 0 or cur_step % self.val_steps == 0:
+                    host_metrics = {k: float(v) for k, v in metrics.items()}
+                    snap = train_meter.snapshot()
+                    iter_acc = snap["acc"]
+                    if self.logger is not None and cur_step % self.log_steps == 0:
+                        info = {"train/acc": iter_acc,
+                                "train/lr": self._current_lr(cur_step)}
+                        info.update({f"train/{k}": v for k, v in snap["means"].items()})
+                        self.logger.log(info, cur_step)
+                    self._mprint(
+                        "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, ACC %.4f"
+                        % (cur_step, self.num_steps, host_metrics.get("total_loss", 0.0),
+                           host_metrics.get("triplet_loss", 0.0), iter_acc)
+                    )
+                if cur_step % self.val_steps == 0 and not self.debug:
+                    self.validate(cur_step, timer)
+                if self._graceful_stop(cur_step):
+                    break
+        finally:
+            self._restore_preemption_handler()
         prefetch.close()
         if self.logger is not None:
             self.logger.finish()

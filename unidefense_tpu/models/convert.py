@@ -16,7 +16,7 @@ scale, running_mean/var -> batch_stats.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 from flax.traverse_util import flatten_dict, unflatten_dict
