@@ -47,6 +47,35 @@ def test_sfconv_module_modes_agree():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(8, 8, 4), (7, 9, 3), (12, 10, 5)])
+def test_shared_hilbert_identity(shape):
+    """UD_SFCONV_HILBERT=shared (H(x̃) = −(H(x))̃, one Hilbert einsum) must
+    match the two-einsum 'pair' form exactly up to fp reordering — value AND
+    gradient (the variant reroutes the backward through a permutation)."""
+    import unidefense_tpu.ops.sfconv_spatial as sp
+
+    h, w, c = shape
+    x = jnp.asarray(RNG.standard_normal((2, h, w, c)).astype(np.float32))
+    wk = jnp.asarray(RNG.standard_normal((2 * c, 2 * c)).astype(np.float32) * 0.2)
+    old = sp._HILBERT_MODE
+
+    def loss(xx, ww):
+        return jnp.sum(sfconv_freq_spatial(xx, ww) ** 2)
+
+    try:
+        sp._HILBERT_MODE = "pair"
+        a = sfconv_freq_spatial(x, wk)
+        ga = jax.grad(loss, argnums=(0, 1))(x, wk)
+        sp._HILBERT_MODE = "shared"
+        b = sfconv_freq_spatial(x, wk)
+        gb = jax.grad(loss, argnums=(0, 1))(x, wk)
+    finally:
+        sp._HILBERT_MODE = old
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for pa, pb in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=2e-4)
+
+
 def test_gradients_flow():
     x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
     wk = jnp.asarray(RNG.standard_normal((8, 8)).astype(np.float32) * 0.2)

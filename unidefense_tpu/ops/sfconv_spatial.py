@@ -38,9 +38,23 @@ default; UD_SFCONV_MODE=spectral restores the FFT path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
+
+# UD_SFCONV_HILBERT selects how H_row(x̃) is obtained:
+#   "shared": via the identity H(x̃) = −(H(x))̃ — one W×W Hilbert einsum
+#       total; the second operand is a pure index permutation of the first.
+#   "pair" (default): two independent Hilbert einsums (the round-1 form).
+# Both are exact; they differ only in fp summation order. Measured A/B on
+# the full jitted UDEB4 two-pass step @256² (tools/bench_hilbert.py,
+# interleaved, 2026-08-18): pair 168.2 img/s vs shared 161.4 (0.96×) — the
+# rev2 roll of H(x) does NOT fuse into the consuming matmuls' reads; XLA
+# materializes the permutation, costing more HBM traffic than the W×W
+# einsum it replaces (consistent with the bundled-reformulation negative
+# result in PROGRESS.md's attack log). "pair" stays the default.
+_HILBERT_MODE = os.environ.get("UD_SFCONV_HILBERT", "pair")
 
 
 @functools.lru_cache(maxsize=None)
@@ -79,7 +93,14 @@ def sfconv_freq_spatial(x: jnp.ndarray, w_packed: jnp.ndarray) -> jnp.ndarray:
 
     x_rev = jnp.roll(x[:, ::-1, ::-1, :], (1, 1), axis=(1, 2))  # x[-h % H, -w % W]
     hx = jnp.einsum("dv,nhvc->nhdc", hm, x)
-    hx_rev = jnp.einsum("dv,nhvc->nhdc", hm, x_rev)
+    if _HILBERT_MODE == "shared":
+        # H(x̃) = −(H(x))̃: s is circularly odd, so the width convolution of
+        # the double-reversed input is the negated double reversal of H(x).
+        # −H(x̃)@ImB therefore becomes +rev2(H(x))@ImB — one Hilbert einsum
+        # total instead of two.
+        hx_rev = -jnp.roll(hx[:, ::-1, ::-1, :], (1, 1), axis=(1, 2))
+    else:
+        hx_rev = jnp.einsum("dv,nhvc->nhdc", hm, x_rev)
 
     # four accumulated matmuls; XLA fuses these better than one wide matmul
     # over a materialized [x ‖ Hx ‖ x̃ ‖ Hx̃] concat (measured: 48.7 vs 53.8 ms
