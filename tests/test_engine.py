@@ -212,6 +212,66 @@ def test_resume_bitwise_equivalence(fe_config):
             )
 
 
+def test_elastic_resume_across_device_counts(fe_config):
+    """Checkpoints are device-layout-agnostic: a run preempted on an N-device
+    mesh resumes on an M-device mesh (fleet reshapes, degraded slices). The
+    save path host-materializes the TrainState (checkpoint.py:61 device_get)
+    and restore targets abstract shapes, so the on-disk tree carries no
+    sharding — this test pins that contract both directions (2→1 and 1→2).
+    Restored state must be BITWISE equal to the crashed state (params, BN
+    stats, optimizer state), and training must continue to completion at the
+    new device count. Numeric trajectory equality across counts is NOT
+    asserted: the step folds axis_index into the PRNG, so per-device noise
+    legitimately differs (test_parallel.py contract). The reference has no
+    analogue (DDP world size is baked into its run; resume raises
+    NotImplementedError)."""
+    import copy
+
+    import jax
+    import yaml as _yaml
+
+    from unidefense_tpu.engines import get_engine
+
+    ds = _yaml.safe_load(open(fe_config["data"]["file"]))
+    ds["num_steps"] = 8
+    p8 = fe_config["data"]["file"] + ".elastic.yml"
+    with open(p8, "w") as f:
+        f.write(_yaml.dump(ds))
+
+    def crashed_then_resumed(run_id, crash_devices, resume_devices):
+        crashy = copy.deepcopy(fe_config)
+        crashy["data"]["file"] = p8
+        crashy["config"].update(id=run_id, num_devices=crash_devices)
+        eng_b = get_engine("FE")(crashy, stage="Train")
+        eng_b.num_steps = 4  # preempt after the step-4 validation checkpoint
+        eng_b.train()
+        assert int(eng_b.state.step) == 4
+
+        resumed = copy.deepcopy(fe_config)
+        resumed["data"]["file"] = p8
+        resumed["config"].update(
+            id=run_id, resume=True, num_devices=resume_devices
+        )
+        eng_c = get_engine("FE")(resumed, stage="Train")
+        assert eng_c.start_step == 5
+        # restore fidelity across the mesh change: bitwise equal trees
+        for name in ("params", "batch_stats", "opt_state"):
+            for a, c in zip(
+                jax.tree.leaves(getattr(eng_b.state, name)),
+                jax.tree.leaves(getattr(eng_c.state, name)),
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(c),
+                    err_msg=f"cross-device-count restore divergence in {name}",
+                )
+        eng_c.train()
+        assert int(eng_c.state.step) == 8
+        assert np.isfinite(eng_c.best_auc)
+
+    crashed_then_resumed("elastic-2to1", crash_devices=2, resume_devices=1)
+    crashed_then_resumed("elastic-1to2", crash_devices=1, resume_devices=2)
+
+
 def test_preemption_graceful_stop_and_resume(fe_config):
     """SIGTERM mid-training (the TPU-fleet preemption signal) must finish the
     in-flight step, save the latest checkpoint at exactly that step, exit the

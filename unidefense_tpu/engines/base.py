@@ -290,6 +290,18 @@ class AbstractEngine:
             self._mprint(f"Resume requested but no checkpoint at {self.run_dir}; starting fresh.")
             return
         self.state, meta = self.ckpt.restore(self.state, best=best)
+        if self.multi_device:
+            # Checkpoints are device-layout-agnostic (saved host-side,
+            # checkpoint.py:61); orbax commits restored leaves to the default
+            # device, which the N-device shard_map jit rejects. Re-commit the
+            # tree replicated over the CURRENT mesh so a run preempted on M
+            # devices resumes on N (elastic fleet reshapes).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, repl), self.state
+            )
         self.best_acc = meta.get("best_acc", self.best_acc)
         self.best_auc = meta.get("best_auc", self.best_auc)
         self.best_hter = meta.get("best_hter", self.best_hter)
