@@ -215,7 +215,7 @@ def test_resume_bitwise_equivalence(fe_config):
 def test_elastic_resume_across_device_counts(fe_config):
     """Checkpoints are device-layout-agnostic: a run preempted on an N-device
     mesh resumes on an M-device mesh (fleet reshapes, degraded slices). The
-    save path host-materializes the TrainState (checkpoint.py:61 device_get)
+    save path host-materializes the TrainState (checkpoint.py:69 device_get)
     and restore targets abstract shapes, so the on-disk tree carries no
     sharding — this test pins that contract both directions (2→1 and 1→2).
     Restored state must be BITWISE equal to the crashed state (params, BN

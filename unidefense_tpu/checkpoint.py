@@ -31,7 +31,15 @@ class CheckpointManager:
         # the engine's duplicate-id collision check on process 0
         if jax.process_index() == 0:
             os.makedirs(self.ckpt_dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # SYNCHRONOUS checkpointer, deliberately. StandardCheckpointer is an
+        # AsyncCheckpointer whose commit/finalize runs an asyncio loop on a
+        # background thread; every save here immediately waited on it anyway
+        # (the atomic rename below needs the files on disk), so async bought
+        # nothing — and the cross-thread join deadlocked once in CI (the
+        # background finalize stuck in selectors.select with zero CPU while
+        # the main thread sat in wait_until_finished; faulthandler dump,
+        # round 3). Inline save has identical cost and no join to lose.
+        self._ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
     def _path(self, best: bool) -> str:
         return os.path.join(self.ckpt_dir, "best" if best else "latest")
@@ -58,8 +66,7 @@ class CheckpointManager:
         if state.lr_scale is not None:
             meta = dict(meta, lr_scale=float(state.lr_scale))
             state = state.replace(lr_scale=None)
-        self._ckptr.save(tmp, jax.device_get(state))
-        self._ckptr.wait_until_finished()
+        self._ckptr.save(tmp, args=ocp.args.StandardSave(jax.device_get(state)))
         if not primary:
             return
         with open(tmp + ".meta.json", "w") as f:
@@ -81,8 +88,11 @@ class CheckpointManager:
         path = self._path(best)
         restored = self._ckptr.restore(
             path,
-            jax.tree.map(
-                ocp.utils.to_shape_dtype_struct, target_state.replace(lr_scale=None)
+            args=ocp.args.StandardRestore(
+                jax.tree.map(
+                    ocp.utils.to_shape_dtype_struct,
+                    target_state.replace(lr_scale=None),
+                )
             ),
         )
         meta = {}
@@ -99,10 +109,15 @@ class CheckpointManager:
 
 def save_params_only(path: str, params: Any):
     """Export inference weights (no optimizer state)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), jax.device_get(params))
+    ocp.Checkpointer(ocp.StandardCheckpointHandler()).save(
+        os.path.abspath(path), args=ocp.args.StandardSave(jax.device_get(params))
+    )
 
 
 def load_params_only(path: str, target: Any) -> Any:
-    return ocp.StandardCheckpointer().restore(
-        os.path.abspath(path), jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    return ocp.Checkpointer(ocp.StandardCheckpointHandler()).restore(
+        os.path.abspath(path),
+        args=ocp.args.StandardRestore(
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        ),
     )

@@ -292,7 +292,7 @@ class AbstractEngine:
         self.state, meta = self.ckpt.restore(self.state, best=best)
         if self.multi_device:
             # Checkpoints are device-layout-agnostic (saved host-side,
-            # checkpoint.py:61); orbax commits restored leaves to the default
+            # checkpoint.py:69); orbax commits restored leaves to the default
             # device, which the N-device shard_map jit rejects. Re-commit the
             # tree replicated over the CURRENT mesh so a run preempted on M
             # devices resumes on N (elastic fleet reshapes).
