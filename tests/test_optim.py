@@ -149,6 +149,89 @@ def test_asgd_matches_torch():
     np.testing.assert_allclose(np.asarray(st.ax["w"]), np.asarray(params["w"]), rtol=1e-6)
 
 
+def _torch_trajectory(opt_cls, w0, b0, grads, lr, wd, **okw):
+    import torch
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    tb = torch.nn.Parameter(torch.tensor(b0))
+    opt = opt_cls(
+        [{"params": [tw], "weight_decay": wd}, {"params": [tb], "weight_decay": 0.0}],
+        lr=lr, **okw,
+    )
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g["w"])
+        tb.grad = torch.tensor(g["b"])
+        opt.step()
+    return tw.detach().numpy(), tb.detach().numpy()
+
+
+def _ours_trajectory(name, w0, b0, grads, lr, wd, **okw):
+    import optax
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    tx = get_optimizer(name, lambda c: lr, weight_decay=wd,
+                       wd_mask={"w": True, "b": False}, **okw)
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({k: jnp.asarray(v) for k, v in g.items()}, st, params)
+        params = optax.apply_updates(params, upd)
+    return np.asarray(params["w"]), np.asarray(params["b"])
+
+
+def _wd_grads(seed=1, n=6):
+    rng = np.random.default_rng(seed)
+    w0 = rng.normal(size=(3, 2)).astype(np.float32)
+    b0 = rng.normal(size=(2,)).astype(np.float32)
+    grads = [
+        {"w": rng.normal(size=(3, 2)).astype(np.float32),
+         "b": rng.normal(size=(2,)).astype(np.float32)}
+        for _ in range(n)
+    ]
+    return w0, b0, grads
+
+
+def test_adam_weight_decay_coupled_matches_torch():
+    """torch's Adam couples weight_decay as L2 into the gradient (only AdamW
+    decouples). Our chain places add_decayed_weights BEFORE scale_by_adam for
+    name='adam' — pinned against a real torch.optim.Adam trajectory with the
+    timm no-decay mask (wd on the 2-D param, none on the bias)."""
+    import torch
+
+    w0, b0, grads = _wd_grads(seed=2)
+    lr, wd = 0.05, 0.1
+    tw, tb = _torch_trajectory(torch.optim.Adam, w0, b0, grads, lr, wd)
+    ow, ob = _ours_trajectory("adam", w0, b0, grads, lr, wd)
+    np.testing.assert_allclose(ow, tw, rtol=1e-5, atol=5e-6)
+    np.testing.assert_allclose(ob, tb, rtol=1e-5, atol=5e-6)
+
+
+def test_adamw_weight_decay_decoupled_matches_torch():
+    """AdamW stays decoupled (torch.optim.AdamW)."""
+    import torch
+
+    w0, b0, grads = _wd_grads(seed=3)
+    lr, wd = 0.05, 0.1
+    tw, tb = _torch_trajectory(torch.optim.AdamW, w0, b0, grads, lr, wd)
+    ow, ob = _ours_trajectory("adamw", w0, b0, grads, lr, wd)
+    np.testing.assert_allclose(ow, tw, rtol=1e-5, atol=5e-6)
+    np.testing.assert_allclose(ob, tb, rtol=1e-5, atol=5e-6)
+
+
+def test_sgd_momentum_weight_decay_coupled_matches_torch():
+    """SGD+momentum couples wd into the gradient before the momentum buffer
+    (torch _single_tensor_sgd order)."""
+    import torch
+
+    w0, b0, grads = _wd_grads(seed=4)
+    lr, wd = 0.05, 0.1
+    tw, tb = _torch_trajectory(torch.optim.SGD, w0, b0, grads, lr, wd,
+                               momentum=0.9)
+    ow, ob = _ours_trajectory("sgd", w0, b0, grads, lr, wd, momentum=0.9)
+    np.testing.assert_allclose(ow, tw, rtol=1e-5, atol=5e-6)
+    np.testing.assert_allclose(ob, tb, rtol=1e-5, atol=5e-6)
+
+
 def test_asgd_eta_decay_changes_steps():
     """eta decays as lr/(1+lambd*lr*t)^alpha — with a large lambd the second
     step must be smaller than the first for the same gradient."""

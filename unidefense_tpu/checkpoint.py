@@ -83,6 +83,34 @@ class CheckpointManager:
     def exists(self, best: bool = False) -> bool:
         return os.path.exists(self._path(best))
 
+    def restore_serving(self, best: bool = True) -> tuple[Any, Any, dict]:
+        """Restore (params, batch_stats, meta) WITHOUT an optimizer template.
+
+        Serving (inference.Predictor.from_run) must open checkpoints written
+        by ANY training config, but a StandardRestore against a TrainState
+        template fails unless the template's opt_state structure matches the
+        run's optimizer exactly (e.g. the shipped AdamW+amsgrad+wd configs
+        produce a 3-element optax chain; an sgd template has 2). Restore
+        target-free instead — orbax reconstructs the tree from the saved
+        metadata — and keep only the serving leaves. Replaces the
+        reference's test-mode torch.load (engine/forgery_engine.py:200-209),
+        which had the same optimizer-independence property."""
+        import warnings
+
+        path = self._path(best)
+        with warnings.catch_warnings():
+            # orbax warns that target-free restore is "generally UNSAFE";
+            # here the checkpoint is self-describing and we only consume the
+            # params/batch_stats subtrees, whose topology the model defines
+            warnings.simplefilter("ignore")
+            raw = self._ckptr.restore(path)
+        meta = {}
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return raw["params"], raw.get("batch_stats") or {}, meta
+
     def restore(self, target_state: TrainState, best: bool = False) -> tuple[TrainState, dict]:
         """Restore into the abstract structure of `target_state`."""
         path = self._path(best)

@@ -103,27 +103,21 @@ class Predictor:
     @classmethod
     def from_run(cls, run_dir: str, model_name: str, model_cfg: Optional[dict] = None,
                  best: bool = True, **kw) -> "Predictor":
-        """Load a training run's orbax checkpoint (best by default)."""
-        from unidefense_tpu.checkpoint import CheckpointManager
-        from unidefense_tpu.train.optim import build_optimizer
-        from unidefense_tpu.train.step import create_train_state
+        """Load a training run's orbax checkpoint (best by default).
 
-        # quantize AFTER restore only — quantizing the throwaway random-init
-        # params in __init__ would run the (jitted, but still compiled) sweep
-        # twice per construction
-        quantize = kw.pop("quantize", None)
-        pred = cls(model_name, model_cfg, **kw)
-        dummy_cfg = {"optimizer": {"name": "sgd", "lr": 0.0}}
-        tx, _ = build_optimizer(dummy_cfg, {})
-        state = create_train_state(
-            pred.model, tx, jax.random.PRNGKey(0),
-            jnp.zeros((1, pred.input_size, pred.input_size, 3), jnp.float32),
-        )
-        state, _ = CheckpointManager(run_dir).restore(state, best=best)
-        pred.batch_stats = state.batch_stats
-        pred.quantize = quantize
-        pred._install_params(state.params)
-        return pred
+        Optimizer-independent: the checkpoint is restored target-free
+        (CheckpointManager.restore_serving), so checkpoints from ANY shipped
+        optimizer config open — no dummy-optimizer template whose opt_state
+        structure could mismatch the run's (the old failure mode with the
+        AdamW+amsgrad configs)."""
+        from unidefense_tpu.checkpoint import CheckpointManager
+
+        params, batch_stats, _ = CheckpointManager(run_dir).restore_serving(best=best)
+        # passing variables= skips the throwaway random init entirely (one
+        # fewer jitted compile per construction) and lets quantize flow
+        # through __init__ to quantize the RESTORED params
+        return cls(model_name, model_cfg,
+                   variables={"params": params, "batch_stats": batch_stats}, **kw)
 
     @classmethod
     def from_torch_checkpoint(cls, ckpt_path: str, model_name: str,

@@ -47,8 +47,14 @@ def _convert_value(path: tuple, torch_val: np.ndarray, target_shape) -> np.ndarr
     else:
         out = torch_val
     if tuple(out.shape) != tuple(target_shape):
-        raise ValueError(f"shape mismatch at {'/'.join(path)}: "
-                         f"torch {out.shape} vs flax {target_shape}")
+        # torch's load_state_dict legacy rule: a (1,) tensor loads into a 0-d
+        # param (nn.Module._load_from_state_dict). Needed for checkpoints
+        # where the scalar coefs (sf_coef/fuse_coef) were saved 1-d.
+        if tuple(target_shape) == () and tuple(out.shape) == (1,):
+            out = out.reshape(())
+        else:
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"torch {out.shape} vs flax {target_shape}")
     # NOT ascontiguousarray: it promotes 0-d scalars (sf_coef/fuse_coef) to (1,)
     return np.array(out, dtype=np.float32)
 
@@ -260,6 +266,10 @@ def _deconvert_value(path: tuple, flax_val: np.ndarray) -> np.ndarray:
             return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
         if v.ndim == 2:  # dense
             return np.ascontiguousarray(v.T)
+    if v.ndim == 0:
+        # keep scalars 0-d: the reference's sf_coef/fuse_coef are 0-d torch
+        # tensors and ascontiguousarray would promote () -> (1,)
+        return np.array(v, np.float32)
     return np.ascontiguousarray(v)
 
 

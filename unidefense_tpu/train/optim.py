@@ -279,9 +279,12 @@ def get_optimizer(
     **kwargs,
 ) -> optax.GradientTransformation:
     """Build the optax chain for a reference optimizer name
-    (optimizer/__init__.py:10-32). Decoupled weight decay with the timm mask
-    is applied for all names (the reference routes every optimizer through
-    param_groups_weight_decay)."""
+    (optimizer/__init__.py:10-32). Weight decay follows torch semantics:
+    COUPLED (L2 added to the gradient before the core transform) for every
+    optimizer except AdamW, which decouples (applies wd to the params after
+    the core transform) — torch.optim.AdamW vs the weight_decay arg of
+    Adam/SGD/Adamax/Adadelta/Adagrad/RMSprop. The timm no-decay mask
+    (param_groups_weight_decay) applies in both cases."""
     name = name.lower()
     b1, b2 = betas
     if name == "asgd":
@@ -313,8 +316,14 @@ def get_optimizer(
     else:
         raise KeyError(f"Optimizer '{name}' not implemented")
 
-    parts = [core]
-    if weight_decay:
+    parts = []
+    if weight_decay and name != "adamw":
+        # coupled L2: g' = g + wd*p feeds the core transform (torch's
+        # weight_decay for adam/sgd/adamax/adadelta/adagrad/rmsprop)
+        parts.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    parts.append(core)
+    if weight_decay and name == "adamw":
+        # decoupled: wd applied to params after the core (torch.optim.AdamW)
         parts.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
     parts.append(optax.scale_by_schedule(lambda c: -schedule(c)))
     return optax.chain(*parts)
