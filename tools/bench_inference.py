@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Serving throughput: jitted eval forward (fused preprocessing included)
-for the flagship UDEB4, uint8 frames in -> P(real) out.
+"""Serving throughput + latency: jitted eval forward (fused preprocessing
+included) for the flagship UDEB4, uint8 frames in -> P(real) out.
 
-Usage: python tools/bench_inference.py [--size 380] [--batches 32 64 128]
+Each (size, batch) row reports sustained images/sec AND per-call p50/p90
+latency (the serving-relevant number at b1/b8: every call is timed
+individually with a forced value fetch, CLAUDE.md gotcha 2).
+
+Usage: python tools/bench_inference.py [--size 380] [--batches 1 8 32 128]
 Prints one JSON line per (size, batch). Run ALONE on the box (CLAUDE.md).
 """
 
@@ -23,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="UDEB4")
     ap.add_argument("--size", type=int, default=380)
-    ap.add_argument("--batches", type=int, nargs="+", default=[32, 128])
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32, 128])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="weight-only int8 serving path (ops/quant.py)")
@@ -48,11 +52,21 @@ def main():
             float(np.asarray(p)[0])  # forced fetch
             best = min(best, time.time() - t0)
         ips = bs * args.steps / best
+        # per-call latency: each call individually timed with a forced fetch
+        lats = []
+        for _ in range(max(args.steps, 20)):
+            t0 = time.time()
+            p, _, _ = pred._eval(pred.params, pred.batch_stats, x, None)
+            float(np.asarray(p)[0])
+            lats.append((time.time() - t0) * 1e3)
+        lats = np.sort(np.asarray(lats))
         print(json.dumps({
             "metric": f"{args.model.lower()}_eval_images_per_sec_{args.size}"
                       + (f"_{args.quantize}" if args.quantize else ""),
             "batch": bs, "value": round(ips, 2), "unit": "images/sec",
             "ms_per_batch": round(best / args.steps * 1e3, 2),
+            "latency_p50_ms": round(float(np.percentile(lats, 50)), 2),
+            "latency_p90_ms": round(float(np.percentile(lats, 90)), 2),
             "param_mb": round(pred.param_bytes() / 2**20, 1),
         }))
 

@@ -1,0 +1,440 @@
+#!/usr/bin/env python
+"""Engine-level A/B: the reference's OWN CLI vs ours, same corpus + YAML.
+
+Step-level parity (tools/parity_curves.py) drives the two train-step
+implementations directly; this harness instead runs the FULL engine loops —
+`/root/reference/main.py --engine FE|UE` (via tools/ref_cpu_shim.py, single
+process, gloo, CPU) and this repo's `main.py` — on the same synthetic
+learnable corpus with the same YAMLs, then compares:
+
+* val metric trajectories (AUC for FE; frame-ACER/AUC + the EER threshold
+  carried to test for UE, engine/uniattack_engine.py:407-476),
+* best-checkpoint bookkeeping,
+* final `--test` printed metrics.
+
+Both sides train the real UDR18 model from their own random init (bitwise
+init sharing is a non-goal here — step-level parity already pins the math
+from identical weights; this is a WIRING check of loaders / cadence /
+thresholds / selection / metrics).
+
+Usage:
+  python tools/engine_ab.py --engine FE --steps 60
+  python tools/engine_ab.py --engine UE --steps 40
+Writes runs/engine_ab/<engine>/result.json (+ per-side logs).
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+# ------------------------------------------------------------------ corpus
+
+def _blob(size, seed):
+    import cv2
+
+    g = np.random.default_rng(seed % 2**31)
+    img = g.random((size // 8, size // 8, 3)).astype(np.float32)
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+    return np.clip(img, 0, 1)
+
+
+def _jpg_bytes(size, seed, fake, artifact):
+    """Learnable separable classes (same construction as parity_curves):
+    fakes carry a checkerboard spectral artifact. JPEG q95 keeps it."""
+    import cv2
+
+    img = _blob(size, seed)
+    if fake:
+        cb = ((np.arange(size)[:, None] + np.arange(size)[None, :]) % 2).astype(np.float32)
+        img = np.clip(img + artifact * cb[:, :, None], 0, 1)
+    u8 = (img * 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", u8[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    return enc.tobytes()
+
+
+def build_fe_corpus(root, size=64, artifact=0.15,
+                    train_videos=12, eval_videos=4, frames=4):
+    """File-backed FF++ tree (use_lmdb false on both sides): JPEG files +
+    pickle_files/{split}_c23.pickle index (dataset/faceforensics.py:40-55)."""
+    import torch
+
+    os.makedirs(os.path.join(root, "pickle_files"), exist_ok=True)
+    splits = {"train": range(train_videos),
+              "val": range(train_videos, train_videos + eval_videos),
+              "test": range(train_videos + eval_videos,
+                            train_videos + 2 * eval_videos)}
+    for split, vids in splits.items():
+        index = []
+        for kind, fake in (("original_sequences/youtube", False),
+                           ("manipulated_sequences/Deepfakes", True)):
+            for v in vids:
+                for f in range(frames):
+                    rel = f"{kind}/c23/images/{v:03d}/{f:04d}.jpg"
+                    full = os.path.join(root, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(_jpg_bytes(size, hash((kind, v, f)), fake, artifact))
+                    index.append((rel, 1 if fake else 0))
+        torch.save(index, os.path.join(root, "pickle_files", f"{split}_c23.pickle"))
+
+
+def build_ue_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
+    """UniAttack FFpp + OULU subsets in BOTH store formats from the same
+    bytes: plain files under <root>/lmdb/<env>/ (read by the shim's
+    directory-backed lmdb) and a FrameStore .udb (read by our loader)."""
+    import torch
+
+    from unidefense_tpu.data.store import FrameStoreWriter
+
+    ffpp_root = os.path.join(base, "FFpp")
+    oulu_root = os.path.join(base, "OULU")
+
+    # FFpp: keys = raw paths (uniattack.py:151-152 nocrop keeps FFpp paths)
+    os.makedirs(os.path.join(ffpp_root, "pickle_files"), exist_ok=True)
+    env_dir = os.path.join(ffpp_root, "lmdb", "FaceForensics++")
+    w = FrameStoreWriter(os.path.join(ffpp_root, "lmdb", "FaceForensics++.udb"))
+    for split in ("train", "val", "test"):
+        index = []
+        for kind, fake in (("original_sequences/youtube", False),
+                           ("manipulated_sequences/Deepfakes", True)):
+            for v in range(videos):
+                for f in range(frames):
+                    rel = f"{kind}/c23/images/{split}_{v:03d}/{f:04d}.jpg"
+                    data = _jpg_bytes(size, hash(("ff", split, kind, v, f)), fake, artifact)
+                    full = os.path.join(env_dir, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(data)
+                    w.add(rel, data)
+                    index.append((rel, 1 if fake else 0))
+        torch.save(index, os.path.join(ffpp_root, "pickle_files", f"{split}_c23.pickle"))
+    w.close()
+
+    # OULU: lists/{real,fake}_5points.pickle, split by Train/Dev/Test_files in
+    # the path; keys carry the Oulu_NPU -> Oulu_NPU_crop rewrite
+    os.makedirs(os.path.join(oulu_root, "lists"), exist_ok=True)
+    env_dir = os.path.join(oulu_root, "lmdb", "Oulu_NPU")
+    w = FrameStoreWriter(os.path.join(oulu_root, "lmdb", "Oulu_NPU.udb"))
+    for label, fake in (("real", False), ("fake", True)):
+        items = []
+        for split_dir in ("Train_files", "Dev_files", "Test_files"):
+            for v in range(videos):
+                for f in range(frames):
+                    rel = f"Oulu_NPU/{split_dir}/{label}_v{v}/f{f}.jpg"
+                    items.append(f"{rel} lm 5 5 25 25")
+                    key = rel.replace("Oulu_NPU", "Oulu_NPU_crop")
+                    data = _jpg_bytes(size, hash(("ou", split_dir, label, v, f)), fake, artifact)
+                    full = os.path.join(env_dir, key)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(data)
+                    w.add(key, data)
+        torch.save(items, os.path.join(oulu_root, "lists", f"{label}_5points.pickle"))
+    w.close()
+    return ffpp_root, oulu_root
+
+
+# ------------------------------------------------------------------ configs
+
+def _transforms(size):
+    train = [
+        {"name": "Resize", "params": {"height": size, "width": size}},
+        {"name": "HorizontalFlip", "params": {"p": 0.5}},
+        {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
+    ]
+    eval_ = [train[0], train[2]]
+    return train, eval_
+
+
+def write_fe_configs(work, corpus_root, size, steps, val_steps, bs):
+    import yaml
+
+    train_tf, eval_tf = _transforms(size)
+    ds = {
+        "name": "FFpp", "root": corpus_root, "use_lmdb": False,
+        "real_method": ["Origin"], "fake_method": ["Deepfakes"],
+        "compression": "c23",
+        "num_steps": steps, "log_steps": max(1, val_steps // 2), "val_steps": val_steps,
+        "train_transforms": train_tf, "val_transforms": eval_tf,
+        "test_transforms": eval_tf,
+    }
+    model = {
+        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
+        "config": {
+            "distribute": {"backend": "gloo"}, "find_unused": True,
+            "warmup_step": 0,
+            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+            "lambda_mask": 0.1, "lambda_fac": 0.1,
+            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                          "weight_decay": 5e-5, "amsgrad": True},
+            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
+        },
+        "data": {"train_batch_size": bs, "val_batch_size": 8,
+                 "test_batch_size": 8, "num_workers": 0,
+                 "file": os.path.join(work, "data.yml")},
+    }
+    with open(os.path.join(work, "data.yml"), "w") as f:
+        yaml.dump(ds, f)
+    with open(os.path.join(work, "model.yml"), "w") as f:
+        yaml.dump(model, f)
+    return os.path.join(work, "model.yml")
+
+
+def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs):
+    import yaml
+
+    train_tf, eval_tf = _transforms(size)
+    ds = {
+        "name": "UniAttack", "root": work,
+        "FFpp_root": ffpp_root, "OULU_root": oulu_root,
+        "CDF_root": None, "SeqDF_root": None, "HQ_root": None,
+        "SiWMv2_root": None,
+        "train_real_method": ["FFpp-Real", "OULU-Real"],
+        "train_fake_method": ["FFpp-DF", "OULU-Fake"],
+        "val_real_method": ["FFpp-Real"], "val_fake_method": ["FFpp-DF"],
+        "test_method": ["OULU-Real", "OULU-Fake"],
+        "num_steps": steps, "log_steps": max(1, val_steps // 2), "val_steps": val_steps,
+        "train_transforms": train_tf, "val_transforms": eval_tf,
+        "test_transforms": eval_tf,
+    }
+    model = {
+        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
+        "config": {
+            "distribute": {"backend": "gloo"}, "find_unused": True,
+            "warmup_step": 0, "use_domain_label": False,
+            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+            "lambda_mask": 0.1, "lambda_fac": 0.1,
+            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                          "weight_decay": 5e-5, "amsgrad": True},
+            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
+        },
+        "data": {"train_batch_size": bs, "val_batch_size": 8,
+                 "test_batch_size": 8, "num_workers": 0,
+                 "file": os.path.join(work, "data.yml")},
+    }
+    with open(os.path.join(work, "data.yml"), "w") as f:
+        yaml.dump(ds, f)
+    with open(os.path.join(work, "model.yml"), "w") as f:
+        yaml.dump(model, f)
+    return os.path.join(work, "model.yml")
+
+
+# ------------------------------------------------------------------ running
+
+def _run(cmd, cwd, log_path, timeout):
+    os.makedirs(cwd, exist_ok=True)
+    with open(log_path, "w") as log:
+        proc = subprocess.run(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT,
+                              timeout=timeout)
+    if proc.returncode != 0:
+        with open(log_path) as f:
+            tail = f.read()[-4000:]
+        raise RuntimeError(f"{' '.join(cmd[:4])}... failed rc={proc.returncode}\n{tail}")
+
+
+def run_reference(engine, model_yml, cwd, timeout, test=False):
+    cmd = [sys.executable, os.path.join(REPO, "tools", "ref_cpu_shim.py"),
+           "--config", model_yml, "--engine", engine]
+    if test:
+        cmd.append("--test")
+    _run(cmd, cwd, os.path.join(cwd, "test_stdout.log" if test else "train_stdout.log"),
+         timeout)
+
+
+def run_ours(engine, model_yml, cwd, timeout, test=False):
+    # force CPU before any jax use (the baked sitecustomize overrides the
+    # JAX_PLATFORMS env var, CLAUDE.md gotcha 1)
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r});"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, runpy;"
+        f"sys.argv=['main.py','--config',{model_yml!r},'--engine',{engine!r}"
+        + (",'--test'" if test else "") + "];"
+        f"runpy.run_path({os.path.join(REPO, 'main.py')!r}, run_name='__main__')"
+    )
+    _run([sys.executable, "-c", code], cwd,
+         os.path.join(cwd, "test_stdout.log" if test else "train_stdout.log"),
+         timeout)
+
+
+# ------------------------------------------------------------------ parsing
+
+FE_EVAL = re.compile(
+    r"Eval Step (\d+), EER ([\d.naninf-]+), TPR5% ([\d.naninf-]+), "
+    r"AUC ([\d.naninf-]+), ACC ([\d.naninf-]+)")
+FE_BEST = re.compile(r"Best Step (\d+), Best AUC ([\d.]+), Best ACC ([\d.]+)")
+FE_TEST = re.compile(
+    r"Test \| EER ([\d.naninf-]+), HTER ([\d.naninf-]+), TPR 5% ([\d.naninf-]+), "
+    r"AUC ([\d.naninf-]+), Thres ([\d.naninf-]+), ACC ([\d.naninf-]+)")
+
+UE_EVAL = re.compile(
+    r"Eval(?: Step (\d+))? \[Frame\], ACER ([\d.naninf-]+), AUC ([\d.naninf-]+), "
+    r"Thres ([\d.naninf-]+)")
+UE_TEST = re.compile(
+    r"Test(?: Step (\d+))? \[(Video|Frame)\], EER ([\d.naninf-]+), "
+    r"APCER ([\d.naninf-]+), BPCER ([\d.naninf-]+), ACER ([\d.naninf-]+), "
+    r"TPR5% ([\d.naninf-]+), AUC ([\d.naninf-]+), Thres ([\d.naninf-]+)")
+
+
+def parse_fe(records_txt, test_txt):
+    text = open(records_txt).read()
+    evals = [{"step": int(m[0]), "EER": float(m[1]), "AUC": float(m[3]),
+              "ACC": float(m[4])} for m in FE_EVAL.findall(text)]
+    bests = FE_BEST.findall(text)
+    best = ({"step": int(bests[-1][0]), "AUC": float(bests[-1][1]),
+             "ACC": float(bests[-1][2])} if bests else None)
+    test = None
+    if test_txt and os.path.exists(test_txt):
+        m = FE_TEST.findall(open(test_txt).read())
+        if m:
+            m = m[-1]
+            test = {"EER": float(m[0]), "HTER": float(m[1]), "AUC": float(m[3]),
+                    "ACC": float(m[5])}
+    return {"evals": evals, "best": best, "test": test}
+
+
+def parse_ue(records_txt, test_txt):
+    text = open(records_txt).read()
+    evals = [{"step": int(m[0]) if m[0] else None, "ACER": float(m[1]),
+              "AUC": float(m[2]), "Thres": float(m[3])}
+             for m in UE_EVAL.findall(text)]
+    tests = [{"step": int(m[0]) if m[0] else None, "level": m[1],
+              "ACER": float(m[5]), "AUC": float(m[7]), "Thres": float(m[8])}
+             for m in UE_TEST.findall(text)]
+    final = {}
+    if test_txt and os.path.exists(test_txt):
+        for m in UE_TEST.findall(open(test_txt).read()):
+            final[m[1]] = {"ACER": float(m[5]), "AUC": float(m[7])}
+    return {"evals": evals, "tests": tests, "final_test": final}
+
+
+# ------------------------------------------------------------------ compare
+
+def _corr(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    if n < 2 or np.std(a) < 1e-12 or np.std(b) < 1e-12:
+        return None
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def compare_fe(ref, ours):
+    r_auc = [e["AUC"] for e in ref["evals"]]
+    o_auc = [e["AUC"] for e in ours["evals"]]
+    out = {
+        "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
+        "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
+        "val_auc_correlation": _corr(r_auc, o_auc),
+        "final_val_auc_gap": (abs(r_auc[-1] - o_auc[-1])
+                              if r_auc and o_auc else None),
+        "best": {"ref": ref["best"], "ours": ours["best"]},
+        "test": {"ref": ref["test"], "ours": ours["test"]},
+    }
+    if ref["test"] and ours["test"]:
+        out["test_auc_gap"] = abs(ref["test"]["AUC"] - ours["test"]["AUC"])
+        out["test_acc_gap"] = abs(ref["test"]["ACC"] - ours["test"]["ACC"])
+    return out
+
+
+def compare_ue(ref, ours):
+    r_auc = [e["AUC"] for e in ref["evals"]]
+    o_auc = [e["AUC"] for e in ours["evals"]]
+    r_tacer = [t["ACER"] for t in ref["tests"] if t["level"] == "Frame"]
+    o_tacer = [t["ACER"] for t in ours["tests"] if t["level"] == "Frame"]
+    out = {
+        "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
+        "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
+        "val_auc_correlation": _corr(r_auc, o_auc),
+        "test_frame_acer_trajectory": {"ref": r_tacer, "ours": o_tacer},
+        "test_frame_acer_correlation": _corr(r_tacer, o_tacer),
+        "final_test": {"ref": ref["final_test"], "ours": ours["final_test"]},
+    }
+    for lvl in ("Frame", "Video"):
+        if lvl in ref["final_test"] and lvl in ours["final_test"]:
+            out[f"final_{lvl.lower()}_auc_gap"] = abs(
+                ref["final_test"][lvl]["AUC"] - ours["final_test"][lvl]["AUC"])
+            out[f"final_{lvl.lower()}_acer_gap"] = abs(
+                ref["final_test"][lvl]["ACER"] - ours["final_test"][lvl]["ACER"])
+    return out
+
+
+# ------------------------------------------------------------------ main
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", choices=["FE", "UE"], default="FE")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--val-steps", type=int, default=15)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--bs", type=int, default=3, help="per-class batch half")
+    ap.add_argument("--artifact", type=float, default=0.15)
+    ap.add_argument("--timeout", type=int, default=5400, help="per subprocess")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    work = os.path.abspath(args.out or os.path.join("runs", "engine_ab", args.engine.lower()))
+    os.makedirs(work, exist_ok=True)
+
+    print(f"== building corpus under {work} ==")
+    if args.engine == "FE":
+        corpus = os.path.join(work, "corpus")
+        build_fe_corpus(corpus, size=args.size, artifact=args.artifact)
+        model_yml = write_fe_configs(work, corpus, args.size, args.steps,
+                                     args.val_steps, args.bs)
+    else:
+        ffpp, oulu = build_ue_corpus(os.path.join(work, "corpus"),
+                                     size=args.size, artifact=args.artifact)
+        model_yml = write_ue_configs(work, ffpp, oulu, args.size, args.steps,
+                                     args.val_steps, args.bs)
+
+    ref_cwd = os.path.join(work, "ref")
+    ours_cwd = os.path.join(work, "ours")
+
+    print("== reference train (torch CPU, gloo, via ref_cpu_shim) ==")
+    run_reference(args.engine, model_yml, ref_cwd, args.timeout)
+    print("== reference test ==")
+    run_reference(args.engine, model_yml, ref_cwd, args.timeout, test=True)
+    print("== ours train (jax CPU) ==")
+    run_ours(args.engine, model_yml, ours_cwd, args.timeout)
+    print("== ours test ==")
+    run_ours(args.engine, model_yml, ours_cwd, args.timeout, test=True)
+
+    run_rel = os.path.join("runs", "UDR18", "ab")
+    if args.engine == "FE":
+        ref = parse_fe(os.path.join(ref_cwd, run_rel, "records.txt"),
+                       os.path.join(ref_cwd, run_rel, "test.txt"))
+        ours = parse_fe(os.path.join(ours_cwd, run_rel, "records.txt"),
+                        os.path.join(ours_cwd, run_rel, "test.txt"))
+        result = compare_fe(ref, ours)
+    else:
+        ref = parse_ue(os.path.join(ref_cwd, run_rel, "records.txt"),
+                       os.path.join(ref_cwd, run_rel, "test.txt"))
+        ours = parse_ue(os.path.join(ours_cwd, run_rel, "records.txt"),
+                        os.path.join(ours_cwd, run_rel, "test.txt"))
+        result = compare_ue(ref, ours)
+
+    result["config"] = {"engine": args.engine, "steps": args.steps,
+                        "val_steps": args.val_steps, "size": args.size,
+                        "bs": 2 * args.bs, "artifact": args.artifact}
+    out_path = os.path.join(work, "result.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("val_auc_trajectory", "test_frame_acer_trajectory")},
+                     indent=1))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
