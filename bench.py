@@ -54,6 +54,12 @@ H100_BASELINE_IMG_PER_SEC = float(os.environ.get("UD_BASELINE_IPS", "400") or 0)
 FAITHFUL_PORT_IMG_PER_SEC = float(os.environ.get("UD_FAITHFUL_IPS", "104.9") or 0)
 # TPU v5e peak dense bf16 throughput per chip.
 PEAK_FLOPS = float(os.environ.get("UD_PEAK_FLOPS", 197e12))
+# v5e HBM bandwidth peak; used for the roofline-utilization row. cost_analysis
+# 'bytes accessed' is a PRE-fusion estimate (CLAUDE.md gotcha 9) and can
+# EXCEED real HBM traffic, so utilization computed from it is an UPPER bound
+# on the true utilization of the bytes XLA thought it needed and should be
+# read next to BASELINE.md's manual activation-traffic bracket.
+PEAK_HBM_BPS = float(os.environ.get("UD_PEAK_HBM_BPS", 819e9))
 
 CFG = {
     "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
@@ -93,20 +99,21 @@ def _build(size: int, batch_real: int = 10, batch_fake: int = 10):
     return state, step_fn, {"image": x_u8, "label": labels}, rng
 
 
-def _flops_per_step(step_fn, state, batch, rng) -> float:
+def _cost_per_step(step_fn, state, batch, rng) -> tuple[float, float]:
+    """(flops, bytes accessed) per step from XLA cost analysis."""
     try:
         ca = step_fn.lower(state, batch, rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def bench_device_only(size: int = 256, steps: int = 20, windows: int = 3):
     state, step_fn, batch, rng = _build(size)
     n = int(batch["label"].shape[0])
-    flops = _flops_per_step(step_fn, state, batch, rng)
+    flops, bytes_accessed = _cost_per_step(step_fn, state, batch, rng)
 
     rngs = list(jax.random.split(rng, windows * steps + 10))
     jax.block_until_ready(rngs)
@@ -126,7 +133,8 @@ def bench_device_only(size: int = 256, steps: int = 20, windows: int = 3):
     ips = n * steps / best_dt
     sec_per_step = best_dt / steps
     mfu = flops / sec_per_step / PEAK_FLOPS if flops else None
-    return ips, flops, mfu
+    hbm = bytes_accessed / sec_per_step / PEAK_HBM_BPS if bytes_accessed else None
+    return ips, flops, mfu, bytes_accessed, hbm
 
 
 # ------------------------------------------------------------------ engine e2e
@@ -260,7 +268,7 @@ def main():
         os.environ["UD_SFCONV_MODE"] = "spectral"
         os.environ["UD_FFT_MODE"] = "fft"
         with contextlib.redirect_stdout(sys.stderr):
-            ips, flops, mfu = bench_device_only()
+            ips, flops, mfu, _, _ = bench_device_only()
         print(json.dumps({
             "metric": "udeb4_faithful_port_images_per_sec_per_chip_256",
             "value": round(ips, 2), "unit": "images/sec",
@@ -272,7 +280,7 @@ def main():
     # engines print settings lines; the driver contract is ONE JSON line on
     # stdout, so everything before the final dump goes to stderr
     with contextlib.redirect_stdout(sys.stderr):
-        ips, flops, mfu = bench_device_only()
+        ips, flops, mfu, bytes_accessed, hbm_util = bench_device_only()
         e2e, e2e_err = None, None
         if not os.environ.get("UD_BENCH_FAST"):
             try:
@@ -293,6 +301,12 @@ def main():
                              if FAITHFUL_PORT_IMG_PER_SEC else None),
         "flops_per_step": flops,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        # roofline proof row (VERDICT r3 item 3): achieved HBM bandwidth from
+        # XLA 'bytes accessed' / measured step time vs the 819 GB/s v5e peak.
+        # Pre-fusion bytes estimate => utilization is an upper bound; the
+        # manual activation-traffic bracket lives in BASELINE.md.
+        "bytes_per_step": bytes_accessed,
+        "hbm_util_upper": round(hbm_util, 4) if hbm_util is not None else None,
     }
     if e2e is not None:
         out["engine_e2e_ips_380"] = round(e2e, 2)

@@ -278,10 +278,10 @@ FE_TEST = re.compile(
     r"AUC ([\d.naninf-]+), Thres ([\d.naninf-]+), ACC ([\d.naninf-]+)")
 
 UE_EVAL = re.compile(
-    r"Eval(?: Step (\d+))? \[Frame\], ACER ([\d.naninf-]+), AUC ([\d.naninf-]+), "
+    r"Eval(?: Step (-?\d+))? \[Frame\], ACER ([\d.naninf-]+), AUC ([\d.naninf-]+), "
     r"Thres ([\d.naninf-]+)")
 UE_TEST = re.compile(
-    r"Test(?: Step (\d+))? \[(Video|Frame)\], EER ([\d.naninf-]+), "
+    r"Test(?: Step (-?\d+))? \[(Video|Frame)\], EER ([\d.naninf-]+), "
     r"APCER ([\d.naninf-]+), BPCER ([\d.naninf-]+), ACER ([\d.naninf-]+), "
     r"TPR5% ([\d.naninf-]+), AUC ([\d.naninf-]+), Thres ([\d.naninf-]+)")
 
@@ -379,6 +379,9 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--bs", type=int, default=3, help="per-class batch half")
     ap.add_argument("--artifact", type=float, default=0.15)
+    ap.add_argument("--train-videos", type=int, default=12)
+    ap.add_argument("--eval-videos", type=int, default=4,
+                    help="videos per class per eval split (FE) / per list (UE)")
     ap.add_argument("--timeout", type=int, default=5400, help="per subprocess")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -389,12 +392,15 @@ def main():
     print(f"== building corpus under {work} ==")
     if args.engine == "FE":
         corpus = os.path.join(work, "corpus")
-        build_fe_corpus(corpus, size=args.size, artifact=args.artifact)
+        build_fe_corpus(corpus, size=args.size, artifact=args.artifact,
+                        train_videos=args.train_videos,
+                        eval_videos=args.eval_videos)
         model_yml = write_fe_configs(work, corpus, args.size, args.steps,
                                      args.val_steps, args.bs)
     else:
         ffpp, oulu = build_ue_corpus(os.path.join(work, "corpus"),
-                                     size=args.size, artifact=args.artifact)
+                                     size=args.size, artifact=args.artifact,
+                                     videos=args.eval_videos)
         model_yml = write_ue_configs(work, ffpp, oulu, args.size, args.steps,
                                      args.val_steps, args.bs)
 

@@ -127,7 +127,8 @@ def batch_stream(reals, fakes, n_steps, bs, seed=7):
 
 # --------------------------------------------------------------- torch side
 
-def build_torch(cfg, num_steps, lr, wd, seed=0, model_name="udr18", size=64):
+def build_torch(cfg, num_steps, lr, wd, seed=0, model_name="udr18", size=64,
+                deterministic=False):
     import torch
 
     _install_stubs()
@@ -167,6 +168,18 @@ def build_torch(cfg, num_steps, lr, wd, seed=0, model_name="udr18", size=64):
         from model.unidefense import UniDefenseModelRes18  # noqa
 
         model = UniDefenseModelRes18(extractor="resnet18", num_classes=2)
+    if deterministic:
+        # isolation experiment (VERDICT r3 item 5): zero ALL torch-side
+        # stochasticity. F.dropout -> identity kills both the nn.Dropout
+        # modules and the hardcoded F.dropout(x_b4, 0.2) of the decoder
+        # input (model/unidefense.py:213); GlobalParams carries the
+        # stochastic-depth rate read per block (model/unidefense.py:166).
+        import torch.nn.functional as F
+
+        F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+        if hasattr(model, "backbone") and hasattr(model.backbone, "_global_params"):
+            model.backbone._global_params = model.backbone._global_params._replace(
+                drop_connect_rate=None)
     model.train()
 
     # timm param_groups_weight_decay semantics (engine/forgery_engine.py:152-154)
@@ -218,7 +231,8 @@ def torch_eval_probs(model, x_val):
 
 # --------------------------------------------------------------- jax side
 
-def build_jax(torch_model, cfg, num_steps, sample_x, bs, model_name="udr18"):
+def build_jax(torch_model, cfg, num_steps, sample_x, bs, model_name="udr18",
+              deterministic=False):
     import jax
     import jax.numpy as jnp
 
@@ -229,7 +243,12 @@ def build_jax(torch_model, cfg, num_steps, sample_x, bs, model_name="udr18"):
         create_train_state, make_eval_step, make_train_step,
     )
 
-    model = load_model("UDEB4" if model_name == "udeb4" else "UDR18")()
+    mkw = {}
+    if deterministic:
+        mkw = {"drop_rate": 0.0, "feat_drop_rate": 0.0}
+        if model_name == "udeb4":
+            mkw["drop_connect_rate"] = 0.0
+    model = load_model("UDEB4" if model_name == "udeb4" else "UDR18")(**mkw)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": rng}, jnp.asarray(sample_x), train=False
@@ -276,6 +295,10 @@ def main():
                     help="fake-class checkerboard amplitude (lower = harder)")
     ap.add_argument("--model", choices=["udr18", "udeb4"], default="udr18",
                     help="udeb4 = flagship parity at reduced resolution")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="zero dropout/drop-connect on BOTH sides: isolates "
+                         "unalignable stochastic-regularizer RNG from real "
+                         "math gaps (expected: correlation jumps)")
     args = ap.parse_args()
 
     import jax
@@ -306,11 +329,13 @@ def main():
     import torch
 
     eng, tmodel, topt, scaler = build_torch(
-        cfg, args.steps, args.lr, args.wd, model_name=args.model, size=args.size
+        cfg, args.steps, args.lr, args.wd, model_name=args.model, size=args.size,
+        deterministic=args.deterministic,
     )
     print("== building unidefense_tpu (same init) ==")
     jmodel, jstate, jstep, jeval = build_jax(
-        tmodel, cfg, args.steps, batches[0][0], args.bs, model_name=args.model
+        tmodel, cfg, args.steps, batches[0][0], args.bs, model_name=args.model,
+        deterministic=args.deterministic,
     )
 
     import jax.numpy as jnp
@@ -349,7 +374,8 @@ def main():
                   f"AUC t={t_auc:.4f} j={j_auc:.4f}  ({time.time() - t0:.0f}s)")
 
     os.makedirs(args.out, exist_ok=True)
-    out_path = os.path.join(args.out, "parity_curves.json")
+    suffix = "_det" if args.deterministic else ""
+    out_path = os.path.join(args.out, f"parity_curves{suffix}.json")
     # summary stats: mean |loss gap| over the last half + final AUC gap
     h = len(hist["step"]) // 2
     loss_gap = float(np.mean(np.abs(
@@ -358,7 +384,7 @@ def main():
     loss_scale = float(np.mean(np.abs(hist["torch_loss"][h:])))
     summary = {
         "steps": args.steps, "size": args.size, "bs": 2 * args.bs,
-        "artifact": args.artifact,
+        "artifact": args.artifact, "deterministic": args.deterministic,
         "loss_curve_correlation": float(np.corrcoef(
             np.asarray(hist["torch_loss"]), np.asarray(hist["jax_loss"])
         )[0, 1]),

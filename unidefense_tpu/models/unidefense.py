@@ -111,6 +111,12 @@ class UniDefenseModelEb4(nn.Module):
     extractor: str = "efficientnet-b4"
     num_classes: int = 2
     drop_rate: float = 0.2
+    # stochastic-depth rate (reference default 0.2 via GlobalParams) and the
+    # hardcoded decoder-input dropout (model/unidefense.py:213 F.dropout 0.2).
+    # Exposed so parity experiments can zero ALL stochasticity on both sides
+    # (tools/parity_curves.py --deterministic); training defaults unchanged.
+    drop_connect_rate: float = 0.2
+    feat_drop_rate: float = 0.2
     use_bias: bool = False
     affine: bool = True
     delimiter: Optional[Sequence[int]] = None
@@ -124,6 +130,7 @@ class UniDefenseModelEb4(nn.Module):
             model_name=self.extractor,
             num_classes=self.num_classes,
             dropout_rate=self.drop_rate,
+            drop_connect_rate=self.drop_connect_rate,
             include_top=False,
             freq_norm=self.freq_norm,
             remat=self.remat,
@@ -150,7 +157,7 @@ class UniDefenseModelEb4(nn.Module):
         )
         self.classifier = Classifier(self.num_classes, dtype=self.dtype)
         self.dropout = nn.Dropout(self.drop_rate)
-        self.feat_dropout = nn.Dropout(0.2)
+        self.feat_dropout = nn.Dropout(self.feat_drop_rate)
 
     def _block(self, x, block_id: int, train: bool):
         start = self._delimiter[block_id - 1] if block_id > 0 else 0
@@ -209,6 +216,7 @@ class UniDefenseModelRes18(nn.Module):
     mid_depth: int = 448
     num_classes: int = 2
     drop_rate: float = 0.2
+    feat_drop_rate: float = 0.2  # hardcoded decoder-input dropout in the reference
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
@@ -247,7 +255,7 @@ class UniDefenseModelRes18(nn.Module):
         )
         self.classifier = Classifier(self.num_classes, dtype=self.dtype)
         self.dropout = nn.Dropout(self.drop_rate)
-        self.feat_dropout = nn.Dropout(0.2)
+        self.feat_dropout = nn.Dropout(self.feat_drop_rate)
 
     def __call__(self, x, noise_x=None, train: bool = False):
         if noise_x is None:
@@ -287,6 +295,7 @@ class UniDefenseModelRes50(nn.Module):
     mid_depth: int = 1024
     num_classes: int = 2
     drop_rate: float = 0.2
+    feat_drop_rate: float = 0.2  # hardcoded decoder-input dropout in the reference
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
@@ -326,7 +335,7 @@ class UniDefenseModelRes50(nn.Module):
         )
         self.classifier = Classifier(self.num_classes, dtype=self.dtype)
         self.dropout = nn.Dropout(self.drop_rate)
-        self.feat_dropout = nn.Dropout(0.2)
+        self.feat_dropout = nn.Dropout(self.feat_drop_rate)
 
     def __call__(self, x, noise_x=None, train: bool = False):
         if noise_x is None:
