@@ -200,6 +200,7 @@ def bench_engine_e2e(size: int = 380, steps: int = 10, windows: int = 5,
                    "precision": "bf16"},
         "data": {"train_batch_size": 10, "val_batch_size": 20,
                  "num_workers": int(os.environ.get("UD_E2E_WORKERS", "2")),
+                 "prefetch_depth": int(os.environ.get("UD_E2E_DEPTH", "2")),
                  "file": "<inline>"},
     }
     ds_options = {

@@ -465,8 +465,9 @@ class AbstractEngine:
             for b in self._batchers():
                 b.fast_forward(self.start_step)
         workers = int(self.data_cfg.get("num_workers", 2) or 1)
+        depth = int(self.data_cfg.get("prefetch_depth", 2) or 2)
         return BatchPrefetcher(
-            select=self._select_batch, load=self._load_batch, depth=2,
+            select=self._select_batch, load=self._load_batch, depth=depth,
             num_steps=self.num_steps, start_step=self.start_step, workers=workers,
         )
 
