@@ -235,3 +235,26 @@ class TestDeviceMetricAccumulator:
                        jnp.asarray(labels))
             host_acc.update(logits, labels)
         assert dev.snapshot()["acc"] == pytest.approx(host_acc.mean_acc())
+
+
+def test_make_prefetcher_honors_prefetch_depth():
+    """`data.prefetch_depth` (round-4 knob for multi-core hosts) reaches the
+    BatchPrefetcher; default stays 2 (the measured best on the 1-core box,
+    BASELINE.md round-4 e2e row)."""
+    from types import SimpleNamespace
+
+    from unidefense_tpu.engines.base import AbstractEngine
+
+    def mk(data_cfg):
+        eng = SimpleNamespace(
+            data_cfg=data_cfg, num_steps=5, start_step=1,
+            _select_batch=lambda s: s, _load_batch=lambda s: {"step": s},
+            _batchers=lambda: [],
+        )
+        return AbstractEngine._make_prefetcher(eng)
+
+    assert mk({}).depth == 2
+    pf = mk({"prefetch_depth": 4, "num_workers": 3})
+    assert pf.depth == 4 and pf.workers == 3
+    # the deeper prefetcher still yields in step order
+    assert [b["step"] for b in pf] == [1, 2, 3, 4, 5]
