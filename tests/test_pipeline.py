@@ -254,6 +254,10 @@ def test_make_prefetcher_honors_prefetch_depth():
         return AbstractEngine._make_prefetcher(eng)
 
     assert mk({}).depth == 2
+    # explicit 0 means "minimum decode-ahead" (depth 1), not the default;
+    # a null YAML value falls back to the default 2
+    assert mk({"prefetch_depth": 0}).depth == 1
+    assert mk({"prefetch_depth": None}).depth == 2
     pf = mk({"prefetch_depth": 4, "num_workers": 3})
     assert pf.depth == 4 and pf.workers == 3
     # the deeper prefetcher still yields in step order

@@ -46,7 +46,7 @@ def build_batchers():
     mk = lambda ds: InfiniteBatcher(
         ds, EpochSampler(len(ds), bs, shuffle=True, pad_last=True),
         load_kwargs={"crop": "nocrop"})
-    return mk(real), mk(fake)
+    return mk(real), mk(fake), bs
 
 
 def host_only_rate(workers: int, steps: int = 30) -> float:
@@ -54,7 +54,7 @@ def host_only_rate(workers: int, steps: int = 30) -> float:
     import jax.numpy as jnp
     from unidefense_tpu.data.pipeline import BatchPrefetcher
 
-    rb, fb = build_batchers()
+    rb, fb, bs = build_batchers()
 
     def select(s):
         return rb.select(s), fb.select(s)
@@ -79,7 +79,7 @@ def host_only_rate(workers: int, steps: int = 30) -> float:
     float(last["image"][0, 0, 0, 0])  # force the last transfer complete
     dt = time.time() - t0
     pf.close()
-    return 20 * steps / dt
+    return 2 * bs * steps / dt  # real + fake streams, bs each
 
 
 def ab():

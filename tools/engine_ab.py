@@ -38,6 +38,15 @@ sys.path.insert(0, REPO)
 
 # ------------------------------------------------------------------ corpus
 
+def _seed(*parts) -> int:
+    """Deterministic per-frame seed. Python's hash() is salted per process
+    (PYTHONHASHSEED), which would regenerate a DIFFERENT corpus on every
+    invocation and make committed A/B results unreproducible."""
+    import zlib
+
+    return zlib.crc32("|".join(map(str, parts)).encode())
+
+
 def _blob(size, seed):
     import cv2
 
@@ -83,7 +92,7 @@ def build_fe_corpus(root, size=64, artifact=0.15,
                     full = os.path.join(root, rel)
                     os.makedirs(os.path.dirname(full), exist_ok=True)
                     with open(full, "wb") as fh:
-                        fh.write(_jpg_bytes(size, hash((kind, v, f)), fake, artifact))
+                        fh.write(_jpg_bytes(size, _seed(kind, v, f), fake, artifact))
                     index.append((rel, 1 if fake else 0))
         torch.save(index, os.path.join(root, "pickle_files", f"{split}_c23.pickle"))
 
@@ -110,7 +119,7 @@ def build_ue_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
             for v in range(videos):
                 for f in range(frames):
                     rel = f"{kind}/c23/images/{split}_{v:03d}/{f:04d}.jpg"
-                    data = _jpg_bytes(size, hash(("ff", split, kind, v, f)), fake, artifact)
+                    data = _jpg_bytes(size, _seed("ff", split, kind, v, f), fake, artifact)
                     full = os.path.join(env_dir, rel)
                     os.makedirs(os.path.dirname(full), exist_ok=True)
                     with open(full, "wb") as fh:
@@ -133,7 +142,7 @@ def build_ue_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
                     rel = f"Oulu_NPU/{split_dir}/{label}_v{v}/f{f}.jpg"
                     items.append(f"{rel} lm 5 5 25 25")
                     key = rel.replace("Oulu_NPU", "Oulu_NPU_crop")
-                    data = _jpg_bytes(size, hash(("ou", split_dir, label, v, f)), fake, artifact)
+                    data = _jpg_bytes(size, _seed("ou", split_dir, label, v, f), fake, artifact)
                     full = os.path.join(env_dir, key)
                     os.makedirs(os.path.dirname(full), exist_ok=True)
                     with open(full, "wb") as fh:

@@ -48,9 +48,6 @@ _DTYPE_BYTES = {
     "c64": 8, "c128": 16, "token": 0, "opaque": 0,
 }
 
-# shapes like f32[20,256,256,3]{3,2,1,0:T(8,128)} or pred[] or (tuple, of, them)
-_SHAPE_RE = re.compile(r"\b(pred|[su](?:8|16|32|64)|bf16|f16|f32|f64|c64|c128|token)\[([0-9,]*)\]")
-
 # ops that move no HBM bytes themselves (aliasing / metadata / plumbing).
 # `copy` IS counted (it is a real HBM->HBM move on TPU).
 _FREE_OPS = {
@@ -58,17 +55,6 @@ _FREE_OPS = {
     "constant",  # small VMEM/SMEM-resident literals; large ones are rare here
     "partition-id", "replica-id", "opt-barrier",
 }
-
-
-def _shape_bytes(text: str) -> int:
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(text):
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
 
 
 # shape WITH optional layout braces: f32[20,3]{1,0:T(8,128)S(1)}. The layout

@@ -413,8 +413,9 @@ def main():
         a2.plot(hist["eval_step"], hist["jax_auc"], "-o", label="unidefense_tpu")
         a2.set_xlabel("train step"); a2.set_ylabel("val AUC"); a2.legend()
         fig.tight_layout()
-        fig.savefig(os.path.join(args.out, "parity_curves.png"), dpi=120)
-        print("wrote", os.path.join(args.out, "parity_curves.png"))
+        png_path = os.path.join(args.out, f"parity_curves{suffix}.png")
+        fig.savefig(png_path, dpi=120)
+        print("wrote", png_path)
     except Exception as e:
         print("plot skipped:", e)
 

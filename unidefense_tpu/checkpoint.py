@@ -90,20 +90,40 @@ class CheckpointManager:
         by ANY training config, but a StandardRestore against a TrainState
         template fails unless the template's opt_state structure matches the
         run's optimizer exactly (e.g. the shipped AdamW+amsgrad+wd configs
-        produce a 3-element optax chain; an sgd template has 2). Restore
-        target-free instead — orbax reconstructs the tree from the saved
-        metadata — and keep only the serving leaves. Replaces the
-        reference's test-mode torch.load (engine/forgery_engine.py:200-209),
-        which had the same optimizer-independence property."""
-        import warnings
-
+        produce a 3-element optax chain; an sgd template has 2). Instead the
+        params/batch_stats template is built from the checkpoint's OWN
+        metadata and only those subtrees are read (PyTree partial restore) —
+        a flagship AdamW+amsgrad checkpoint carries ~3 param-sized opt_state
+        copies (~1.5 GB) that serving would otherwise read from disk and
+        immediately discard. Replaces the reference's test-mode torch.load
+        (engine/forgery_engine.py:200-209), which had the same
+        optimizer-independence property."""
         path = self._path(best)
-        with warnings.catch_warnings():
-            # orbax warns that target-free restore is "generally UNSAFE";
-            # here the checkpoint is self-describing and we only consume the
-            # params/batch_stats subtrees, whose topology the model defines
-            warnings.simplefilter("ignore")
-            raw = self._ckptr.restore(path)
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        md = ckptr.metadata(path)
+        tree_md = getattr(md.item_metadata, "tree", md.item_metadata)
+        wanted = {
+            k: tree_md[k]
+            for k in ("params", "batch_stats")
+            if k in tree_md and tree_md[k]
+        }
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), wanted
+        )
+        # transforms={} = partial restore: unmatched checkpoint keys
+        # (opt_state, step) are skipped, not read
+        import numpy as np
+
+        raw = ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=template,
+                transforms={},
+                restore_args=jax.tree.map(
+                    lambda s: ocp.RestoreArgs(restore_type=np.ndarray), template
+                ),
+            ),
+        )
         meta = {}
         meta_path = path + ".meta.json"
         if os.path.exists(meta_path):

@@ -465,7 +465,11 @@ class AbstractEngine:
             for b in self._batchers():
                 b.fast_forward(self.start_step)
         workers = int(self.data_cfg.get("num_workers", 2) or 1)
-        depth = int(self.data_cfg.get("prefetch_depth", 2) or 2)
+        # max(1,.) not `or 2`: an explicit prefetch_depth: 0 means "minimum
+        # decode-ahead", which is depth 1 (BatchPrefetcher's own clamp);
+        # only a null/missing key falls back to the default 2
+        raw_depth = self.data_cfg.get("prefetch_depth", 2)
+        depth = max(1, int(2 if raw_depth is None else raw_depth))
         return BatchPrefetcher(
             select=self._select_batch, load=self._load_batch, depth=depth,
             num_steps=self.num_steps, start_step=self.start_step, workers=workers,
