@@ -15,9 +15,17 @@ from unidefense_tpu.engines import get_engine
 
 def main():
     arg = arg_parser()
-    if os.environ.get("UNIDEFENSE_MULTIHOST"):
-        import jax
+    import jax
 
+    # Persistent compile cache (same location as bench.py / tools/*): the
+    # flagship UDEB4 two-pass step takes ~4-6 min to compile on this runtime;
+    # any repeat invocation (resume, --test after train, protocol sweeps)
+    # hits the cache instead. UD_JAX_CACHE= (empty) disables.
+    cache_dir = os.environ.get("UD_JAX_CACHE", "/tmp/ud_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    if os.environ.get("UNIDEFENSE_MULTIHOST"):
         jax.distributed.initialize()
     config = load_config(
         arg.config,
