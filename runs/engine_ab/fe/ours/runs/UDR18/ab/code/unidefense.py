@@ -216,6 +216,7 @@ class UniDefenseModelRes18(nn.Module):
     mid_depth: int = 448
     num_classes: int = 2
     drop_rate: float = 0.2
+    feat_drop_rate: float = 0.2  # hardcoded decoder-input dropout in the reference
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
@@ -254,7 +255,7 @@ class UniDefenseModelRes18(nn.Module):
         )
         self.classifier = Classifier(self.num_classes, dtype=self.dtype)
         self.dropout = nn.Dropout(self.drop_rate)
-        self.feat_dropout = nn.Dropout(0.2)
+        self.feat_dropout = nn.Dropout(self.feat_drop_rate)
 
     def __call__(self, x, noise_x=None, train: bool = False):
         if noise_x is None:
@@ -294,6 +295,7 @@ class UniDefenseModelRes50(nn.Module):
     mid_depth: int = 1024
     num_classes: int = 2
     drop_rate: float = 0.2
+    feat_drop_rate: float = 0.2  # hardcoded decoder-input dropout in the reference
     use_bias: bool = False
     affine: bool = True
     freq_norm: str = "ortho"
@@ -333,7 +335,7 @@ class UniDefenseModelRes50(nn.Module):
         )
         self.classifier = Classifier(self.num_classes, dtype=self.dtype)
         self.dropout = nn.Dropout(self.drop_rate)
-        self.feat_dropout = nn.Dropout(0.2)
+        self.feat_dropout = nn.Dropout(self.feat_drop_rate)
 
     def __call__(self, x, noise_x=None, train: bool = False):
         if noise_x is None:

@@ -3,7 +3,7 @@
 
 Step-level parity (tools/parity_curves.py) drives the two train-step
 implementations directly; this harness instead runs the FULL engine loops —
-`/root/reference/main.py --engine FE|UE` (via tools/ref_cpu_shim.py, single
+`/root/reference/main.py --engine FE|OCIM|UE` (via tools/ref_cpu_shim.py, single
 process, gloo, CPU) and this repo's `main.py` — on the same synthetic
 learnable corpus with the same YAMLs, then compares:
 
@@ -20,6 +20,7 @@ thresholds / selection / metrics).
 Usage:
   python tools/engine_ab.py --engine FE --steps 60
   python tools/engine_ab.py --engine UE --steps 40
+  python tools/engine_ab.py --engine OCIM --steps 60
 Writes runs/engine_ab/<engine>/result.json (+ per-side logs).
 """
 
@@ -153,6 +154,46 @@ def build_ue_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
     return ffpp_root, oulu_root
 
 
+OCIM_DOMAINS = {"O": "Oulu_NPU", "C": "CASIA_database",
+                "I": "replayattack", "M": "MSU-MFSD"}
+
+
+def build_ocim_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
+    """OCIM 4-domain FAS corpus under ONE shared root (dataset/ocim.py:11-49:
+    lists at <root>/<D_root>/lists/{real,fake}_5points.pickle, lmdb env at
+    <root>/lmdb/<D_root> with crop-rewritten keys,
+    dataset/abstract_dataset.py:83-98). Images land in BOTH store formats:
+    plain files for the shim's directory-backed lmdb and a FrameStore .udb
+    for our loader. Domains get a per-domain seed stream so coral/triplet
+    see distinct styles."""
+    import torch
+
+    from unidefense_tpu.data.store import FrameStoreWriter
+
+    for domain_dir in OCIM_DOMAINS.values():
+        os.makedirs(os.path.join(base, domain_dir, "lists"), exist_ok=True)
+        env_dir = os.path.join(base, "lmdb", domain_dir)
+        w = FrameStoreWriter(os.path.join(base, "lmdb", f"{domain_dir}.udb"))
+        for label, fake in (("real", False), ("fake", True)):
+            items = []
+            for v in range(videos):
+                for f in range(frames):
+                    rel = f"{domain_dir}/videos/{label}_v{v}/f{f}.jpg"
+                    items.append(f"{rel} lm 5 5 25 25")
+                    key = rel.replace(domain_dir, f"{domain_dir}_crop")
+                    data = _jpg_bytes(size, _seed("ocim", domain_dir, label, v, f),
+                                      fake, artifact)
+                    full = os.path.join(env_dir, key)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as fh:
+                        fh.write(data)
+                    w.add(key, data)
+            torch.save(items, os.path.join(
+                base, domain_dir, "lists", f"{label}_5points.pickle"))
+        w.close()
+    return base
+
+
 # ------------------------------------------------------------------ configs
 
 def _transforms(size):
@@ -238,6 +279,45 @@ def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs):
     return os.path.join(work, "model.yml")
 
 
+def write_ocim_configs(work, corpus_root, size, steps, val_steps, bs):
+    """Mirror config_template/ocim/{model_udr18,data_*}.yml: train on three
+    domains, dev/test on the held-out fourth (leave-one-out protocol). The
+    per-sub-loader train_batch_size makes the step batch 6*bs (3 domains x
+    real/fake pairs, engine/ocim_engine.py:235-252)."""
+    import yaml
+
+    train_tf, eval_tf = _transforms(size)
+    ds = {
+        "root": corpus_root, "use_lmdb": True,
+        **{f"{k}_root": v for k, v in OCIM_DOMAINS.items()},
+        "train_dataset": ["C", "I", "M"],
+        "dev_dataset": ["O"], "test_dataset": ["O"],
+        "num_steps": steps, "log_steps": max(1, val_steps // 2), "val_steps": val_steps,
+        "train_transforms": train_tf, "dev_transforms": eval_tf,
+        "test_transforms": eval_tf,
+    }
+    model = {
+        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
+        "config": {
+            "distribute": {"backend": "gloo"}, "find_unused": True,
+            "warmup_step": 0,
+            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+            "lambda_mask": 0.1, "lambda_fac": 0.1,
+            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                          "weight_decay": 5e-5, "amsgrad": True},
+            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
+        },
+        "data": {"train_batch_size": bs, "val_batch_size": 8,
+                 "test_batch_size": 8, "num_workers": 0,
+                 "file": os.path.join(work, "data.yml")},
+    }
+    with open(os.path.join(work, "data.yml"), "w") as f:
+        yaml.dump(ds, f)
+    with open(os.path.join(work, "model.yml"), "w") as f:
+        yaml.dump(model, f)
+    return os.path.join(work, "model.yml")
+
+
 # ------------------------------------------------------------------ running
 
 def _run(cmd, cwd, log_path, timeout):
@@ -286,6 +366,15 @@ FE_TEST = re.compile(
     r"Test \| EER ([\d.naninf-]+), HTER ([\d.naninf-]+), TPR 5% ([\d.naninf-]+), "
     r"AUC ([\d.naninf-]+), Thres ([\d.naninf-]+), ACC ([\d.naninf-]+)")
 
+OCIM_EVAL = re.compile(
+    r"Eval Step (\d+), EER ([\d.naninf-]+), HTER ([\d.naninf-]+), "
+    r"TPR5% ([\d.naninf-]+), AUC ([\d.naninf-]+), Thres ([\d.naninf-]+), "
+    r"ACC ([\d.naninf-]+)")
+OCIM_BEST = re.compile(r"Best Step (\d+), Best AUC ([\d.]+), Best HTER ([\d.]+)")
+# the OCIM test line has the same shape as FE's (both engines print
+# "Test | EER .., HTER .., TPR 5% .., AUC .., Thres .., ACC ..") — FE_TEST
+# is reused for it below.
+
 UE_EVAL = re.compile(
     r"Eval(?: Step (-?\d+))? \[Frame\], ACER ([\d.naninf-]+), AUC ([\d.naninf-]+), "
     r"Thres ([\d.naninf-]+)")
@@ -302,6 +391,24 @@ def parse_fe(records_txt, test_txt):
     bests = FE_BEST.findall(text)
     best = ({"step": int(bests[-1][0]), "AUC": float(bests[-1][1]),
              "ACC": float(bests[-1][2])} if bests else None)
+    test = None
+    if test_txt and os.path.exists(test_txt):
+        m = FE_TEST.findall(open(test_txt).read())
+        if m:
+            m = m[-1]
+            test = {"EER": float(m[0]), "HTER": float(m[1]), "AUC": float(m[3]),
+                    "ACC": float(m[5])}
+    return {"evals": evals, "best": best, "test": test}
+
+
+def parse_ocim(records_txt, test_txt):
+    text = open(records_txt).read()
+    evals = [{"step": int(m[0]), "EER": float(m[1]), "HTER": float(m[2]),
+              "AUC": float(m[4]), "ACC": float(m[6])}
+             for m in OCIM_EVAL.findall(text)]
+    bests = OCIM_BEST.findall(text)
+    best = ({"step": int(bests[-1][0]), "AUC": float(bests[-1][1]),
+             "HTER": float(bests[-1][2])} if bests else None)
     test = None
     if test_txt and os.path.exists(test_txt):
         m = FE_TEST.findall(open(test_txt).read())
@@ -356,6 +463,30 @@ def compare_fe(ref, ours):
     return out
 
 
+def compare_ocim(ref, ours):
+    """val-AUC + val-(AUC-HTER) trajectories (the best-checkpoint rule is
+    max(AUC-HTER), engine/ocim_engine.py:393-397) and final --test gaps."""
+    r_auc = [e["AUC"] for e in ref["evals"]]
+    o_auc = [e["AUC"] for e in ours["evals"]]
+    r_sel = [e["AUC"] - e["HTER"] for e in ref["evals"]]
+    o_sel = [e["AUC"] - e["HTER"] for e in ours["evals"]]
+    out = {
+        "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
+        "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
+        "val_auc_correlation": _corr(r_auc, o_auc),
+        "val_selection_metric_correlation": _corr(r_sel, o_sel),
+        "final_val_auc_gap": (abs(r_auc[-1] - o_auc[-1])
+                              if r_auc and o_auc else None),
+        "best": {"ref": ref["best"], "ours": ours["best"]},
+        "test": {"ref": ref["test"], "ours": ours["test"]},
+    }
+    if ref["test"] and ours["test"]:
+        out["test_auc_gap"] = abs(ref["test"]["AUC"] - ours["test"]["AUC"])
+        out["test_hter_gap"] = abs(ref["test"]["HTER"] - ours["test"]["HTER"])
+        out["test_acc_gap"] = abs(ref["test"]["ACC"] - ours["test"]["ACC"])
+    return out
+
+
 def compare_ue(ref, ours):
     r_auc = [e["AUC"] for e in ref["evals"]]
     o_auc = [e["AUC"] for e in ours["evals"]]
@@ -382,7 +513,7 @@ def compare_ue(ref, ours):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["FE", "UE"], default="FE")
+    ap.add_argument("--engine", choices=["FE", "UE", "OCIM"], default="FE")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--val-steps", type=int, default=15)
     ap.add_argument("--size", type=int, default=64)
@@ -406,6 +537,12 @@ def main():
                         eval_videos=args.eval_videos)
         model_yml = write_fe_configs(work, corpus, args.size, args.steps,
                                      args.val_steps, args.bs)
+    elif args.engine == "OCIM":
+        corpus = build_ocim_corpus(os.path.join(work, "corpus"),
+                                   size=args.size, artifact=args.artifact,
+                                   videos=args.eval_videos)
+        model_yml = write_ocim_configs(work, corpus, args.size, args.steps,
+                                       args.val_steps, args.bs)
     else:
         ffpp, oulu = build_ue_corpus(os.path.join(work, "corpus"),
                                      size=args.size, artifact=args.artifact,
@@ -415,6 +552,12 @@ def main():
 
     ref_cwd = os.path.join(work, "ref")
     ours_cwd = os.path.join(work, "ours")
+    # fresh slate: both engines refuse to reuse an existing run id, so a
+    # re-run into the same --out must clear the previous run dirs
+    import shutil
+
+    for d in (ref_cwd, ours_cwd):
+        shutil.rmtree(d, ignore_errors=True)
 
     print("== reference train (torch CPU, gloo, via ref_cpu_shim) ==")
     run_reference(args.engine, model_yml, ref_cwd, args.timeout)
@@ -432,6 +575,12 @@ def main():
         ours = parse_fe(os.path.join(ours_cwd, run_rel, "records.txt"),
                         os.path.join(ours_cwd, run_rel, "test.txt"))
         result = compare_fe(ref, ours)
+    elif args.engine == "OCIM":
+        ref = parse_ocim(os.path.join(ref_cwd, run_rel, "records.txt"),
+                         os.path.join(ref_cwd, run_rel, "test.txt"))
+        ours = parse_ocim(os.path.join(ours_cwd, run_rel, "records.txt"),
+                          os.path.join(ours_cwd, run_rel, "test.txt"))
+        result = compare_ocim(ref, ours)
     else:
         ref = parse_ue(os.path.join(ref_cwd, run_rel, "records.txt"),
                        os.path.join(ref_cwd, run_rel, "test.txt"))
@@ -439,9 +588,12 @@ def main():
                         os.path.join(ours_cwd, run_rel, "test.txt"))
         result = compare_ue(ref, ours)
 
+    # step batch: 2*bs for FE/UE (real+fake), 6*bs for OCIM (3 train
+    # domains x real/fake sub-loaders)
+    step_batch = (6 if args.engine == "OCIM" else 2) * args.bs
     result["config"] = {"engine": args.engine, "steps": args.steps,
                         "val_steps": args.val_steps, "size": args.size,
-                        "bs": 2 * args.bs, "artifact": args.artifact}
+                        "bs": step_batch, "artifact": args.artifact}
     out_path = os.path.join(work, "result.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
