@@ -153,6 +153,11 @@ class Predictor:
             )
         probs = np.empty(n, np.float32)
         bs = self.batch_size
+        pending = []  # (start, n_valid, device_probs) — fetch AFTER the loop:
+        # dispatch is async, so enqueueing every batch before the first value
+        # fetch pipelines the per-call dispatch+fetch overhead (~5 ms/call
+        # through the tunnel, artifacts/scan_probe_r04b.json) instead of
+        # paying it serially per batch
         for start in range(0, n, bs):
             idx = list(range(start, min(n, start + bs)))
             n_valid = len(idx)
@@ -161,6 +166,8 @@ class Predictor:
             p, _, _ = self._eval(
                 self.params, self.batch_stats, jnp.asarray(frames_u8[idx]), None
             )
+            pending.append((start, n_valid, p))
+        for start, n_valid, p in pending:
             probs[start : start + n_valid] = np.asarray(p)[:n_valid]
         return probs
 
