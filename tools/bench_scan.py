@@ -91,10 +91,22 @@ def main():
             "scan_us_per_iter": round(ts * 1e6 / k, 2),
         })
         print(json.dumps(rows[-1]), flush=True)
-    verdict = ("inner-scan VIABLE: op-count reduction is a live lever"
-               if all(r["scan_over_unrolled"] < 1.5 for r in rows)
-               else "inner-scan DEAD on this runtime (gotcha 6 applies to "
-                    "inner loops too)")
+    # Lever viability is judged from the NEUTRALITY of the ratio (~1.0), not a
+    # mere "< 1.5": scan being execution-neutral vs unrolled means per-executed
+    # -op cost is identical, so op-count reduction via scan CANNOT move the
+    # headline — its only win is compile time (PROGRESS.md r4b conclusion).
+    ratios = [r["scan_over_unrolled"] for r in rows]
+    if all(0.8 < x < 1.25 for x in ratios):
+        verdict = ("inner scan device-resident and EXECUTION-NEUTRAL vs "
+                   "unrolled (ratio ~1.0): per-executed-op cost unchanged; "
+                   "scan collapses compile time only — op-count lever CLOSED")
+    elif all(x < 0.8 for x in ratios):
+        verdict = ("inner scan FASTER than unrolled on this runtime — "
+                   "op-count reduction has become a live lever; re-open the "
+                   "r4b conclusion")
+    else:
+        verdict = ("inner scan SLOWER than unrolled (gotcha 6 applies to "
+                   "inner loops too on this runtime)")
     print(json.dumps({"verdict": verdict}))
 
 

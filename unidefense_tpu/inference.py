@@ -153,11 +153,20 @@ class Predictor:
             )
         probs = np.empty(n, np.float32)
         bs = self.batch_size
-        pending = []  # (start, n_valid, device_probs) — fetch AFTER the loop:
-        # dispatch is async, so enqueueing every batch before the first value
+        pending = []  # (start, n_valid, device_probs) — fetched lazily:
+        # dispatch is async, so enqueueing batches ahead of the first value
         # fetch pipelines the per-call dispatch+fetch overhead (~5 ms/call
         # through the tunnel, artifacts/scan_probe_r04b.json) instead of
-        # paying it serially per batch
+        # paying it serially per batch. The window is bounded (MAX_IN_FLIGHT)
+        # so long videos cannot pin an unbounded number of (bs,H,W,3) device
+        # input buffers — each drained entry frees its buffers before the
+        # next dispatch.
+        MAX_IN_FLIGHT = 8
+
+        def _drain_one() -> None:
+            s, v, dp = pending.pop(0)
+            probs[s : s + v] = np.asarray(dp)[:v]
+
         for start in range(0, n, bs):
             idx = list(range(start, min(n, start + bs)))
             n_valid = len(idx)
@@ -167,8 +176,10 @@ class Predictor:
                 self.params, self.batch_stats, jnp.asarray(frames_u8[idx]), None
             )
             pending.append((start, n_valid, p))
-        for start, n_valid, p in pending:
-            probs[start : start + n_valid] = np.asarray(p)[:n_valid]
+            if len(pending) > MAX_IN_FLIGHT:
+                _drain_one()
+        while pending:
+            _drain_one()
         return probs
 
     def predict_video(self, frames_u8: np.ndarray) -> float:
