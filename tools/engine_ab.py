@@ -12,16 +12,33 @@ learnable corpus with the same YAMLs, then compares:
 * best-checkpoint bookkeeping,
 * final `--test` printed metrics.
 
-Both sides train the real UDR18 model from their own random init (bitwise
-init sharing is a non-goal here — step-level parity already pins the math
-from identical weights; this is a WIRING check of loaders / cadence /
-thresholds / selection / metrics).
+Round-5 additions (VERDICT r4 items 1+3):
+* --same-init (DEFAULT ON): both sides start from IDENTICAL weights. The
+  reference side constructs its model first and saves its state_dict in the
+  reference's own {'model': sd} format (shim hook, UD_AB_INIT_STATE); our
+  side converts that file through the models/convert bridge
+  (config.init_weights). Turns band agreement into pointwise claims.
+* shipped-config shape: --crop 4p (default for OCIM — the real margin
+  protocol, train (0.0,0.5) / val 0.3, engine/ocim_engine.py:84-85),
+  --warmup N + --sched-step/--sched-gamma (the shipped FE/UE recipe,
+  engine/forgery_engine.py:269-272, config_template/forgery/
+  model_udeb4.yml:22-26).
+* --model UDEB4: flagship engine-level A/B at small res (reference built
+  via from_name with image_size pinned — the UD_SLOW golden shim).
+* --distorted: UE Protocol-I corruption OneOf through the full test flow
+  (dataset/uniattack.py:90-107).
+* --deterministic: zero dropout/drop-connect on BOTH sides via the shared
+  config.deterministic_regularization key (r4 isolation precedent).
+* train-loss trajectory correlation (running-average 'Train Iter' lines,
+  now format-identical on both sides).
 
 Usage:
-  python tools/engine_ab.py --engine FE --steps 60
-  python tools/engine_ab.py --engine UE --steps 40
-  python tools/engine_ab.py --engine OCIM --steps 60
-Writes runs/engine_ab/<engine>/result.json (+ per-side logs).
+  python tools/engine_ab.py --engine FE --steps 60 --warmup 10 --sched-step 25
+  python tools/engine_ab.py --engine UE --steps 40 --distorted
+  python tools/engine_ab.py --engine OCIM --steps 60            # crop 4p
+  python tools/engine_ab.py --engine FE --model UDEB4 --deterministic
+Writes runs/engine_ab/<engine>/result.json (+ per-side logs); pass --out to
+keep earlier runs of record intact.
 """
 
 import argparse
@@ -206,9 +223,49 @@ def _transforms(size):
     return train, eval_
 
 
-def write_fe_configs(work, corpus_root, size, steps, val_steps, bs):
+def _model_section(model_name):
+    if model_name == "UDEB4":
+        return {"name": "UDEB4", "num_classes": 2, "drop_rate": 0.2,
+                "extractor": "efficientnet-b4"}
+    return {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"}
+
+
+def _config_section(work, args, extra=None):
+    """The shared `config:` block. init_weights / deterministic_regularization
+    are additive keys OUR engine honors (engines/base.py); the reference
+    ignores the former and the shim honors the latter — one YAML drives both
+    sides."""
+    cfg = {
+        "distribute": {"backend": "gloo"}, "find_unused": True,
+        "warmup_step": args.warmup,
+        "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
+        "lambda_mask": 0.1, "lambda_fac": 0.1,
+        "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
+                      "weight_decay": 5e-5, "amsgrad": True},
+        "crop": args.crop, "resume": False, "id": "ab", "debug": False,
+    }
+    if args.sched_step:
+        cfg["scheduler"] = {"name": "StepLR", "step_size": args.sched_step,
+                            "gamma": args.sched_gamma}
+    if args.same_init:
+        cfg["init_weights"] = os.path.join(work, "init_state.pth")
+    if args.deterministic:
+        cfg["deterministic_regularization"] = True
+    cfg.update(extra or {})
+    return cfg
+
+
+def _write_yamls(work, ds, model):
     import yaml
 
+    with open(os.path.join(work, "data.yml"), "w") as f:
+        yaml.dump(ds, f)
+    with open(os.path.join(work, "model.yml"), "w") as f:
+        yaml.dump(model, f)
+    return os.path.join(work, "model.yml")
+
+
+def write_fe_configs(work, corpus_root, size, steps, val_steps, bs, args):
     train_tf, eval_tf = _transforms(size)
     ds = {
         "name": "FFpp", "root": corpus_root, "use_lmdb": False,
@@ -219,30 +276,16 @@ def write_fe_configs(work, corpus_root, size, steps, val_steps, bs):
         "test_transforms": eval_tf,
     }
     model = {
-        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
-        "config": {
-            "distribute": {"backend": "gloo"}, "find_unused": True,
-            "warmup_step": 0,
-            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
-            "lambda_mask": 0.1, "lambda_fac": 0.1,
-            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
-                          "weight_decay": 5e-5, "amsgrad": True},
-            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
-        },
+        "model": _model_section(args.model),
+        "config": _config_section(work, args),
         "data": {"train_batch_size": bs, "val_batch_size": 8,
                  "test_batch_size": 8, "num_workers": 0,
                  "file": os.path.join(work, "data.yml")},
     }
-    with open(os.path.join(work, "data.yml"), "w") as f:
-        yaml.dump(ds, f)
-    with open(os.path.join(work, "model.yml"), "w") as f:
-        yaml.dump(model, f)
-    return os.path.join(work, "model.yml")
+    return _write_yamls(work, ds, model)
 
 
-def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs):
-    import yaml
-
+def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs, args):
     train_tf, eval_tf = _transforms(size)
     ds = {
         "name": "UniAttack", "root": work,
@@ -257,35 +300,28 @@ def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs):
         "train_transforms": train_tf, "val_transforms": eval_tf,
         "test_transforms": eval_tf,
     }
+    if args.distorted:
+        # Protocol-I corruption OneOf applied to the test split on BOTH
+        # sides (dataset/uniattack.py:90-107)
+        ds["distorted"] = True
     model = {
-        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
-        "config": {
-            "distribute": {"backend": "gloo"}, "find_unused": True,
-            "warmup_step": 0, "use_domain_label": False,
-            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
-            "lambda_mask": 0.1, "lambda_fac": 0.1,
-            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
-                          "weight_decay": 5e-5, "amsgrad": True},
-            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
-        },
+        "model": _model_section(args.model),
+        "config": _config_section(work, args, {"use_domain_label": False}),
         "data": {"train_batch_size": bs, "val_batch_size": 8,
                  "test_batch_size": 8, "num_workers": 0,
                  "file": os.path.join(work, "data.yml")},
     }
-    with open(os.path.join(work, "data.yml"), "w") as f:
-        yaml.dump(ds, f)
-    with open(os.path.join(work, "model.yml"), "w") as f:
-        yaml.dump(model, f)
-    return os.path.join(work, "model.yml")
+    return _write_yamls(work, ds, model)
 
 
-def write_ocim_configs(work, corpus_root, size, steps, val_steps, bs):
+def write_ocim_configs(work, corpus_root, size, steps, val_steps, bs, args):
     """Mirror config_template/ocim/{model_udr18,data_*}.yml: train on three
     domains, dev/test on the held-out fourth (leave-one-out protocol). The
     per-sub-loader train_batch_size makes the step batch 6*bs (3 domains x
-    real/fake pairs, engine/ocim_engine.py:235-252)."""
-    import yaml
-
+    real/fake pairs, engine/ocim_engine.py:235-252). With crop '4p' (the
+    round-5 default) the real margin protocol runs on both sides: random
+    train margin drawn per batch from (0.0, 0.5), fixed val margin 0.3
+    (engine/ocim_engine.py:84-85 defaults, taken by both engines)."""
     train_tf, eval_tf = _transforms(size)
     ds = {
         "root": corpus_root, "use_lmdb": True,
@@ -297,47 +333,39 @@ def write_ocim_configs(work, corpus_root, size, steps, val_steps, bs):
         "test_transforms": eval_tf,
     }
     model = {
-        "model": {"name": "UDR18", "num_classes": 2, "extractor": "resnet18"},
-        "config": {
-            "distribute": {"backend": "gloo"}, "find_unused": True,
-            "warmup_step": 0,
-            "lambda_triplet": 0.1, "lambda_recons": 0.1, "lambda_freq": 1.0,
-            "lambda_mask": 0.1, "lambda_fac": 0.1,
-            "optimizer": {"name": "adamw", "lr": 1e-4, "betas": [0.9, 0.999],
-                          "weight_decay": 5e-5, "amsgrad": True},
-            "crop": "nocrop", "resume": False, "id": "ab", "debug": False,
-        },
+        "model": _model_section(args.model),
+        "config": _config_section(work, args),
         "data": {"train_batch_size": bs, "val_batch_size": 8,
                  "test_batch_size": 8, "num_workers": 0,
                  "file": os.path.join(work, "data.yml")},
     }
-    with open(os.path.join(work, "data.yml"), "w") as f:
-        yaml.dump(ds, f)
-    with open(os.path.join(work, "model.yml"), "w") as f:
-        yaml.dump(model, f)
-    return os.path.join(work, "model.yml")
+    return _write_yamls(work, ds, model)
 
 
 # ------------------------------------------------------------------ running
 
-def _run(cmd, cwd, log_path, timeout):
+def _run(cmd, cwd, log_path, timeout, env_extra=None):
     os.makedirs(cwd, exist_ok=True)
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     with open(log_path, "w") as log:
         proc = subprocess.run(cmd, cwd=cwd, stdout=log, stderr=subprocess.STDOUT,
-                              timeout=timeout)
+                              timeout=timeout, env=env)
     if proc.returncode != 0:
         with open(log_path) as f:
             tail = f.read()[-4000:]
         raise RuntimeError(f"{' '.join(cmd[:4])}... failed rc={proc.returncode}\n{tail}")
 
 
-def run_reference(engine, model_yml, cwd, timeout, test=False):
+def run_reference(engine, model_yml, cwd, timeout, test=False, env_extra=None):
     cmd = [sys.executable, os.path.join(REPO, "tools", "ref_cpu_shim.py"),
            "--config", model_yml, "--engine", engine]
     if test:
         cmd.append("--test")
     _run(cmd, cwd, os.path.join(cwd, "test_stdout.log" if test else "train_stdout.log"),
-         timeout)
+         timeout, env_extra=env_extra)
 
 
 def run_ours(engine, model_yml, cwd, timeout, test=False):
@@ -382,6 +410,47 @@ UE_TEST = re.compile(
     r"Test(?: Step (-?\d+))? \[(Video|Frame)\], EER ([\d.naninf-]+), "
     r"APCER ([\d.naninf-]+), BPCER ([\d.naninf-]+), ACER ([\d.naninf-]+), "
     r"TPR5% ([\d.naninf-]+), AUC ([\d.naninf-]+), Thres ([\d.naninf-]+)")
+
+
+# running-average train loss ("Train Iter (N/M), Loss X, ..."): both sides
+# print the reference's exact line (AverageMeter .avg semantics). The
+# reference's copy lives in tqdm bar redraws -> parse the raw stdout log;
+# the last occurrence per step wins.
+TRAIN_ITER = re.compile(
+    r"Train Iter \((\d+)/\d+\), Loss ([\d.naninf-]+)"
+    r"(?:.*?LR ([\d.naninf-]+))?")
+
+
+def parse_loss_curve(*paths):
+    d = {}
+    for p in paths:
+        if p and os.path.exists(p):
+            with open(p, errors="replace") as f:
+                for m in TRAIN_ITER.findall(f.read()):
+                    d[int(m[0])] = (float(m[1]),
+                                    float(m[2]) if m[2] else None)
+    return d
+
+
+def compare_losses(ref_losses, ours_losses):
+    steps = sorted(set(ref_losses) & set(ours_losses))
+    r = [ref_losses[s][0] for s in steps]
+    o = [ours_losses[s][0] for s in steps]
+    # per-step LR gap: pointwise check of the warmup-ramp + scheduler wiring
+    # (reference sets warmup LR on the param groups per step and steps the
+    # scheduler once per train step after warmup; ours folds both into the
+    # optax schedule — train/optim.py:build_lr_schedule)
+    lr_gaps = [abs(ref_losses[s][1] - ours_losses[s][1]) for s in steps
+               if ref_losses[s][1] is not None and ours_losses[s][1] is not None]
+    return {
+        "n_common_steps": len(steps),
+        "steps": steps,
+        "ref": r,
+        "ours": o,
+        "train_loss_correlation": _corr(r, o),
+        "final_train_loss_gap": abs(r[-1] - o[-1]) if steps else None,
+        "max_lr_gap": max(lr_gaps) if lr_gaps else None,
+    }
 
 
 def parse_fe(records_txt, test_txt):
@@ -514,6 +583,7 @@ def compare_ue(ref, ours):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", choices=["FE", "UE", "OCIM"], default="FE")
+    ap.add_argument("--model", choices=["UDR18", "UDEB4"], default="UDR18")
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--val-steps", type=int, default=15)
     ap.add_argument("--size", type=int, default=64)
@@ -522,9 +592,29 @@ def main():
     ap.add_argument("--train-videos", type=int, default=12)
     ap.add_argument("--eval-videos", type=int, default=4,
                     help="videos per class per eval split (FE) / per list (UE)")
+    ap.add_argument("--crop", choices=["nocrop", "4p"], default=None,
+                    help="default: 4p for OCIM (the shipped margin protocol), "
+                         "nocrop otherwise (FE pickles carry no bbox points)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="warmup_step (reference per-step LR ramp)")
+    ap.add_argument("--sched-step", type=int, default=0,
+                    help="StepLR step_size (0 = no scheduler)")
+    ap.add_argument("--sched-gamma", type=float, default=0.5)
+    ap.add_argument("--distorted", action="store_true",
+                    help="UE only: Protocol-I corruption OneOf on the test split")
+    ap.add_argument("--same-init", dest="same_init", action="store_true",
+                    default=True,
+                    help="seed both sides from the SAME weights (default on): "
+                         "reference saves its init, ours converts it")
+    ap.add_argument("--no-same-init", dest="same_init", action="store_false")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="zero dropout/drop-connect on both sides "
+                         "(config.deterministic_regularization)")
     ap.add_argument("--timeout", type=int, default=5400, help="per subprocess")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.crop is None:
+        args.crop = "4p" if args.engine == "OCIM" else "nocrop"
 
     work = os.path.abspath(args.out or os.path.join("runs", "engine_ab", args.engine.lower()))
     os.makedirs(work, exist_ok=True)
@@ -536,39 +626,56 @@ def main():
                         train_videos=args.train_videos,
                         eval_videos=args.eval_videos)
         model_yml = write_fe_configs(work, corpus, args.size, args.steps,
-                                     args.val_steps, args.bs)
+                                     args.val_steps, args.bs, args)
     elif args.engine == "OCIM":
         corpus = build_ocim_corpus(os.path.join(work, "corpus"),
                                    size=args.size, artifact=args.artifact,
                                    videos=args.eval_videos)
         model_yml = write_ocim_configs(work, corpus, args.size, args.steps,
-                                       args.val_steps, args.bs)
+                                       args.val_steps, args.bs, args)
     else:
         ffpp, oulu = build_ue_corpus(os.path.join(work, "corpus"),
                                      size=args.size, artifact=args.artifact,
                                      videos=args.eval_videos)
         model_yml = write_ue_configs(work, ffpp, oulu, args.size, args.steps,
-                                     args.val_steps, args.bs)
+                                     args.val_steps, args.bs, args)
 
     ref_cwd = os.path.join(work, "ref")
     ours_cwd = os.path.join(work, "ours")
     # fresh slate: both engines refuse to reuse an existing run id, so a
-    # re-run into the same --out must clear the previous run dirs
+    # re-run into the same --out must clear the previous run dirs (and a
+    # stale shared-init file must not leak into a new corpus/model shape)
     import shutil
 
     for d in (ref_cwd, ours_cwd):
         shutil.rmtree(d, ignore_errors=True)
+    init_path = os.path.join(work, "init_state.pth")
+    if os.path.exists(init_path):
+        os.remove(init_path)
+
+    # reference-side env: seeded for reproducibility of the committed
+    # results; UD_AB_INIT_STATE makes the first model construction save its
+    # init (our side then converts the same file via config.init_weights);
+    # UD_AB_IMAGE_SIZE pins UDEB4's static SAME padding to the run's size
+    ref_env = {"UD_AB_SEED": "0"}
+    if args.same_init:
+        ref_env["UD_AB_INIT_STATE"] = init_path
+    if args.model == "UDEB4":
+        ref_env["UD_AB_IMAGE_SIZE"] = str(args.size)
 
     print("== reference train (torch CPU, gloo, via ref_cpu_shim) ==")
-    run_reference(args.engine, model_yml, ref_cwd, args.timeout)
+    run_reference(args.engine, model_yml, ref_cwd, args.timeout, env_extra=ref_env)
+    if args.same_init:
+        assert os.path.exists(init_path), "shim did not save the shared init"
     print("== reference test ==")
-    run_reference(args.engine, model_yml, ref_cwd, args.timeout, test=True)
+    run_reference(args.engine, model_yml, ref_cwd, args.timeout, test=True,
+                  env_extra=ref_env)
     print("== ours train (jax CPU) ==")
     run_ours(args.engine, model_yml, ours_cwd, args.timeout)
     print("== ours test ==")
     run_ours(args.engine, model_yml, ours_cwd, args.timeout, test=True)
 
-    run_rel = os.path.join("runs", "UDR18", "ab")
+    run_rel = os.path.join("runs", args.model, "ab")
     if args.engine == "FE":
         ref = parse_fe(os.path.join(ref_cwd, run_rel, "records.txt"),
                        os.path.join(ref_cwd, run_rel, "test.txt"))
@@ -588,18 +695,38 @@ def main():
                         os.path.join(ours_cwd, run_rel, "test.txt"))
         result = compare_ue(ref, ours)
 
+    # pointwise train-loss trajectory (reference: tqdm redraws in the raw
+    # stdout log; ours: records.txt lines — parse both for each side)
+    result["train_loss"] = compare_losses(
+        parse_loss_curve(os.path.join(ref_cwd, "train_stdout.log"),
+                         os.path.join(ref_cwd, run_rel, "records.txt")),
+        parse_loss_curve(os.path.join(ours_cwd, "train_stdout.log"),
+                         os.path.join(ours_cwd, run_rel, "records.txt")),
+    )
+
     # step batch: 2*bs for FE/UE (real+fake), 6*bs for OCIM (3 train
     # domains x real/fake sub-loaders)
     step_batch = (6 if args.engine == "OCIM" else 2) * args.bs
-    result["config"] = {"engine": args.engine, "steps": args.steps,
+    result["config"] = {"engine": args.engine, "model": args.model,
+                        "steps": args.steps,
                         "val_steps": args.val_steps, "size": args.size,
-                        "bs": step_batch, "artifact": args.artifact}
+                        "bs": step_batch, "artifact": args.artifact,
+                        "crop": args.crop, "warmup_step": args.warmup,
+                        "scheduler": ({"name": "StepLR",
+                                       "step_size": args.sched_step,
+                                       "gamma": args.sched_gamma}
+                                      if args.sched_step else None),
+                        "same_init": args.same_init,
+                        "deterministic": args.deterministic,
+                        "distorted": args.distorted}
     out_path = os.path.join(work, "result.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("val_auc_trajectory", "test_frame_acer_trajectory")},
-                     indent=1))
+    brief = {k: v for k, v in result.items()
+             if k not in ("val_auc_trajectory", "test_frame_acer_trajectory")}
+    brief["train_loss"] = {k: v for k, v in result["train_loss"].items()
+                           if k not in ("steps", "ref", "ours")}
+    print(json.dumps(brief, indent=1))
     print("wrote", out_path)
 
 

@@ -359,9 +359,63 @@ def _patch_torch():
     return torch
 
 
-def _patch_engine_modules(torch_mod):
+def _wrap_load_model(real_load_model, init_state, deterministic, image_size):
+    """Wrap the reference's model registry so tools/engine_ab.py can
+    (a) share one init across both A/B sides: the FIRST construction saves
+        its state_dict to UD_AB_INIT_STATE in the reference's own
+        {'model': sd} format (engine/forgery_engine.py:215-223); later
+        constructions (ours converts the same file; the reference --test
+        stage reloads then overrides with best_model.bin) load it;
+    (b) zero drop-connect for config.deterministic_regularization (same
+        patch as tools/parity_curves.py --deterministic);
+    (c) build UDEB4 via from_name with the run's image size (no weight
+        download on this zero-egress image; static SAME padding pinned to
+        the actual input size, matching the UD_SLOW golden shim)."""
+    import torch
+
+    def load_model(name):
+        if name.upper() == "UDEB4" and image_size:
+            import model.efficientnet.model as tm
+
+            tm.EfficientNet.from_pretrained = classmethod(
+                lambda cls, nm, weights_path=None, advprop=False,
+                in_channels=3, num_classes=1000, **kw: cls.from_name(
+                    nm, num_classes=num_classes,
+                    image_size=int(image_size), **kw))
+        cls = real_load_model(name)
+        if not (init_state or deterministic):
+            return cls
+
+        class Hooked(cls):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                if deterministic and hasattr(self, "backbone") and \
+                        hasattr(self.backbone, "_global_params"):
+                    self.backbone._global_params = \
+                        self.backbone._global_params._replace(
+                            drop_connect_rate=None)
+                if init_state:
+                    if os.path.exists(init_state):
+                        sd = torch.load(init_state, map_location="cpu",
+                                        weights_only=False)["model"]
+                        self.load_state_dict(sd, strict=True)
+                        print(f"[shim] loaded shared init from {init_state}")
+                    else:
+                        torch.save({"model": self.state_dict()}, init_state)
+                        print(f"[shim] saved shared init to {init_state}")
+
+        Hooked.__name__ = cls.__name__
+        Hooked.__qualname__ = cls.__qualname__
+        return Hooked
+
+    return load_model
+
+
+def _patch_engine_modules(torch_mod, init_state=None, deterministic=False,
+                          image_size=None):
     """Import the reference engine modules and swap their module-level
-    `torch` binding for the cuda->cpu proxy."""
+    `torch` binding for the cuda->cpu proxy (and, for the A/B hooks, their
+    `load_model` binding)."""
     proxy = _TorchProxy(torch_mod)
     import engine  # noqa: F401 — triggers engine.* imports
 
@@ -370,6 +424,10 @@ def _patch_engine_modules(torch_mod):
         mod = sys.modules.get(name)
         if mod is not None:
             mod.torch = proxy
+            if hasattr(mod, "load_model") and (init_state or deterministic
+                                               or image_size):
+                mod.load_model = _wrap_load_model(
+                    mod.load_model, init_state, deterministic, image_size)
 
 
 def main():
@@ -386,8 +444,43 @@ def main():
     os.environ.setdefault("LOCAL_RANK", "0")
     os.environ["WANDB_MODE"] = "dryrun"
 
+    # --- A/B hooks (tools/engine_ab.py) ---------------------------------
+    # deterministic_regularization is read from the SHARED model.yml (the
+    # same key our engines honor, engines/base.py:_build_model); init-state
+    # sharing and the UDEB4 image-size pin come via env vars.
+    deterministic = False
+    if "--config" in sys.argv:
+        try:
+            import yaml
+
+            with open(sys.argv[sys.argv.index("--config") + 1]) as f:
+                _cfg = yaml.safe_load(f)
+            deterministic = bool(
+                _cfg.get("config", {}).get("deterministic_regularization"))
+        except Exception:
+            pass
+    if deterministic:
+        import torch.nn.functional as F
+
+        # identity dropout: kills the nn.Dropout modules AND the hardcoded
+        # F.dropout of the Eb4 decoder input (model/unidefense.py:213) —
+        # same patch as tools/parity_curves.py --deterministic
+        F.dropout = lambda x, p=0.5, training=False, inplace=False: x
+    seed = os.environ.get("UD_AB_SEED")
+    if seed is not None:
+        random.seed(int(seed))
+        import numpy as _np
+
+        _np.random.seed(int(seed))
+        torch_mod.manual_seed(int(seed))
+
     sys.path.insert(0, REF)
-    _patch_engine_modules(torch_mod)
+    _patch_engine_modules(
+        torch_mod,
+        init_state=os.environ.get("UD_AB_INIT_STATE"),
+        deterministic=deterministic,
+        image_size=os.environ.get("UD_AB_IMAGE_SIZE"),
+    )
 
     sys.argv = [os.path.join(REF, "main.py")] + sys.argv[1:]
     runpy.run_path(os.path.join(REF, "main.py"), run_name="__main__")

@@ -196,6 +196,20 @@ class AbstractEngine:
 
     def _build_model(self):
         axis_name = DATA_AXIS if self.multi_device else None
+        model_cfg = self.model_cfg
+        if self.config_cfg.get("deterministic_regularization", False):
+            # additive key: zero all stochastic regularization (dropout,
+            # feature dropout, EfficientNet drop-connect) for reproducible /
+            # cross-framework-comparable runs. The r4 UDEB4 parity isolation
+            # (tools/parity_curves.py --deterministic) showed these RNG
+            # streams are unalignable across frameworks; this knob gives the
+            # engine loop the same switch. tools/ref_cpu_shim.py honors the
+            # same YAML key for the reference side.
+            model_cfg = dict(model_cfg)
+            model_cfg.update(drop_rate=0.0, feat_drop_rate=0.0)
+            if self.model_name.upper() == "UDEB4":
+                model_cfg["drop_connect_rate"] = 0.0
+            self.model_cfg = model_cfg
         self.model = build_model(
             self.model_name, self.model_cfg, axis_name=axis_name,
             dtype=self.compute_dtype, remat=bool(self.config_cfg.get("remat", False)),
@@ -250,6 +264,28 @@ class AbstractEngine:
         elif weights_path:
             self._mprint(f"WARNING: extractor_weights '{weights_path}' not found; "
                          "training from scratch.")
+
+        # full-model warm start (additive 'init_weights' config key): a
+        # reference-format {'model': state_dict} torch checkpoint converted
+        # through the models/convert bridge. Used for warm-starting from a
+        # released reference checkpoint and by tools/engine_ab.py --same-init
+        # to seed both A/B sides from identical weights. Loaded AFTER
+        # extractor_weights (a full-model init supersedes a backbone-only
+        # one); a later resume/checkpoint restore still supersedes this.
+        init_path = self.config_cfg.get("init_weights")
+        if init_path:
+            if not os.path.exists(init_path):
+                raise FileNotFoundError(
+                    f"config.init_weights '{init_path}' does not exist")
+            from unidefense_tpu.models.convert import load_unidefense_checkpoint
+
+            variables = {"params": jax.device_get(self.state.params),
+                         "batch_stats": jax.device_get(self.state.batch_stats)}
+            variables = load_unidefense_checkpoint(variables, init_path)
+            self.state = self.state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+            self._mprint(f"Initialized full model weights from {init_path}.")
 
         eval_fn = make_eval_step(model, preprocess=device_tf)
         self._eval_fn = eval_fn  # raw fn for the process-local eval path

@@ -166,7 +166,6 @@ class ForgeryEngine(AbstractEngine):
                 train_meter.update(metrics, cls_out, batch["label"])
 
                 if cur_step % self.log_steps == 0 or cur_step % self.val_steps == 0:
-                    host_metrics = {k: float(v) for k, v in metrics.items()}
                     snap = train_meter.snapshot()
                     iter_acc = snap["acc"]
                     if self.logger is not None and cur_step % self.log_steps == 0:
@@ -174,14 +173,17 @@ class ForgeryEngine(AbstractEngine):
                                 "train/lr": self._current_lr(cur_step)}
                         info.update({f"train/{k}": v for k, v in snap["means"].items()})
                         self.logger.log(info, cur_step)
+                    # running means + LR: the reference's exact line semantics
+                    # (engine/forgery_engine.py:299-307 prints AverageMeter
+                    # .avg values, i.e. averages since training start)
                     self._mprint(
-                        "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, Spat %.4f, Freq %.4f, ACC %.4f"
+                        "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, Spat %.4f, Freq %.4f, ACC %.4f, LR %.6f"
                         % (cur_step, self.num_steps,
-                           host_metrics.get("total_loss", 0.0),
-                           host_metrics.get("triplet_loss", 0.0),
-                           host_metrics.get("real_rec_loss", 0.0),
-                           host_metrics.get("real_freq_loss", 0.0),
-                           iter_acc)
+                           snap["means"].get("total_loss", 0.0),
+                           snap["means"].get("triplet_loss", 0.0),
+                           snap["means"].get("real_rec_loss", 0.0),
+                           snap["means"].get("real_freq_loss", 0.0),
+                           iter_acc, self._current_lr(cur_step))
                     )
                 if cur_step % self.val_steps == 0 and not self.debug:
                     self.validate(cur_step, timer)

@@ -154,7 +154,6 @@ class OCIMEngine(AbstractEngine):
                 )
                 train_meter.update(metrics, cls_out, batch["label"])
                 if cur_step % self.log_steps == 0 or cur_step % self.val_steps == 0:
-                    host_metrics = {k: float(v) for k, v in metrics.items()}
                     snap = train_meter.snapshot()
                     iter_acc = snap["acc"]
                     if self.logger is not None and cur_step % self.log_steps == 0:
@@ -162,10 +161,17 @@ class OCIMEngine(AbstractEngine):
                                 "train/lr": self._current_lr(cur_step)}
                         info.update({f"train/{k}": v for k, v in snap["means"].items()})
                         self.logger.log(info, cur_step)
+                    # running means + LR, same fields as FE: the reference's
+                    # OCIM line is format-identical to forgery's
+                    # (engine/ocim_engine.py:291-298, AverageMeter .avg)
                     self._mprint(
-                        "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, ACC %.4f"
-                        % (cur_step, self.num_steps, host_metrics.get("total_loss", 0.0),
-                           host_metrics.get("triplet_loss", 0.0), iter_acc)
+                        "Train Iter (%d/%d), Loss %.4f, Triplet %.4f, Spat %.4f, Freq %.4f, ACC %.4f, LR %.6f"
+                        % (cur_step, self.num_steps,
+                           snap["means"].get("total_loss", 0.0),
+                           snap["means"].get("triplet_loss", 0.0),
+                           snap["means"].get("real_rec_loss", 0.0),
+                           snap["means"].get("real_freq_loss", 0.0),
+                           iter_acc, self._current_lr(cur_step))
                     )
                 if cur_step % self.val_steps == 0 and not self.debug:
                     self.validate(cur_step, timer)
