@@ -110,8 +110,9 @@ def _cost_per_step(step_fn, state, batch, rng) -> tuple[float, float]:
         return 0.0, 0.0
 
 
-def bench_device_only(size: int = 256, steps: int = 20, windows: int = 3):
-    state, step_fn, batch, rng = _build(size)
+def bench_device_only(size: int = 256, steps: int = 20, windows: int = 3,
+                      batch_real: int = 10, batch_fake: int = 10):
+    state, step_fn, batch, rng = _build(size, batch_real, batch_fake)
     n = int(batch["label"].shape[0])
     flops, bytes_accessed = _cost_per_step(step_fn, state, batch, rng)
 
@@ -278,10 +279,33 @@ def main():
         }))
         return
 
+    # b128 is a SUPPORTED training configuration only if the large-batch
+    # learning-equivalence proof passed (tools/validate_large_batch.py,
+    # VERDICT r4 item 2) — until then the amortized number stays out of the
+    # headline output. UD_BENCH_B128=0 force-skips (e.g. cold-cache runs).
+    b128_supported = False
+    lb_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts", "large_batch_learning_r05.json")
+    if os.environ.get("UD_BENCH_B128", "1") != "0" and os.path.exists(lb_art):
+        try:
+            with open(lb_art) as f:
+                b128_supported = bool(json.load(f)["verdict"]["pass"])
+        except Exception:
+            pass
+
     # engines print settings lines; the driver contract is ONE JSON line on
     # stdout, so everything before the final dump goes to stderr
     with contextlib.redirect_stdout(sys.stderr):
         ips, flops, mfu, bytes_accessed, hbm_util = bench_device_only()
+        b128 = None
+        if b128_supported and not os.environ.get("UD_BENCH_FAST"):
+            try:
+                b128_ips, b128_flops, b128_mfu, _, _ = bench_device_only(
+                    256, steps=6, windows=3, batch_real=64, batch_fake=64)
+                b128 = {"ips": round(b128_ips, 2),
+                        "mfu": round(b128_mfu, 4) if b128_mfu else None}
+            except Exception as e:
+                b128 = {"error": f"{type(e).__name__}: {e}"[:200]}
         e2e, e2e_err = None, None
         if not os.environ.get("UD_BENCH_FAST"):
             try:
@@ -309,6 +333,14 @@ def main():
         "bytes_per_step": bytes_accessed,
         "hbm_util_upper": round(hbm_util, 4) if hbm_util is not None else None,
     }
+    if b128 is not None:
+        # supported large-batch configuration (learning-equivalence proven,
+        # artifacts/large_batch_learning_r05.json): the amortization path of
+        # the BASELINE.md batch-scaling table as a headline row
+        out["b128_images_per_sec"] = b128.get("ips")
+        out["b128_mfu"] = b128.get("mfu")
+        if "error" in b128:
+            out["b128_error"] = b128["error"]
     if e2e is not None:
         out["engine_e2e_ips_380"] = round(e2e, 2)
     if e2e_err is not None:

@@ -8,6 +8,13 @@ individually with a forced value fetch, CLAUDE.md gotcha 2).
 
 Usage: python tools/bench_inference.py [--size 380] [--batches 1 8 32 128]
 Prints one JSON line per (size, batch). Run ALONE on the box (CLAUDE.md).
+
+--explain (round 5, VERDICT r4 weak #3): attributes the b128-vs-b32
+throughput shape with per-image compiler numbers for each batch — flops/img
+(cost_analysis) and post-fusion HBM bytes/img (the tools/hbm_traffic.py
+memory-space-aware HLO walk) plus the implied bandwidth over the measured
+time. If bytes/img rises at b128, XLA chose worse layouts/materialization
+at the larger shape; if flat, the drop is runtime/dispatch-side.
 """
 
 import argparse
@@ -31,6 +38,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="weight-only int8 serving path (ops/quant.py)")
+    ap.add_argument("--explain", action="store_true",
+                    help="add per-image flops + post-fusion HBM bytes per row")
     args = ap.parse_args()
 
     from unidefense_tpu.inference import Predictor
@@ -60,7 +69,7 @@ def main():
             float(np.asarray(p)[0])
             lats.append((time.time() - t0) * 1e3)
         lats = np.sort(np.asarray(lats))
-        print(json.dumps({
+        row = {
             "metric": f"{args.model.lower()}_eval_images_per_sec_{args.size}"
                       + (f"_{args.quantize}" if args.quantize else ""),
             "batch": bs, "value": round(ips, 2), "unit": "images/sec",
@@ -68,7 +77,23 @@ def main():
             "latency_p50_ms": round(float(np.percentile(lats, 50)), 2),
             "latency_p90_ms": round(float(np.percentile(lats, 90)), 2),
             "param_mb": round(pred.param_bytes() / 2**20, 1),
-        }))
+        }
+        if args.explain:
+            from tools.hbm_traffic import analyze_hlo
+
+            comp = pred._eval.lower(pred.params, pred.batch_stats, x, None).compile()
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            post = analyze_hlo(comp.as_text())
+            ms = best / args.steps * 1e3
+            top = sorted(post["per_op"].items(), key=lambda kv: -kv[1])[:5]
+            row.update({
+                "flops_per_img_g": round(float(ca.get("flops", 0)) / bs / 1e9, 2),
+                "hbm_bytes_per_img_mb": round(post["traffic_bytes"] / bs / 2**20, 1),
+                "implied_hbm_gbps": round(post["traffic_bytes"] / (ms / 1e3) / 1e9, 1),
+                "top_traffic_ops": {k: round(v / bs / 2**20, 1) for k, v in top},
+            })
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
