@@ -42,10 +42,17 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import numpy as np
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache (the two UDEB4 programs — b20 and b128 steps with
+# different baked kl_switch constants — cost ~5 min each cold)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("UD_JAX_CACHE", "/tmp/ud_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def run_config(tag, root, ds_base, size, batch_half, lr, images, val_every_images,

@@ -465,6 +465,19 @@ class AbstractEngine:
             lr *= float(self.state.lr_scale)
         return lr
 
+    def _printed_lr(self, cur_step: int) -> float:
+        """The LR value the reference prints/logs: param_groups are read
+        AFTER the step's scheduler.step() (engine/forgery_engine.py:290-298),
+        so after warmup the printed value is the NEXT step's lr; during
+        warmup (no scheduler.step, forgery_engine.py:269-272 +
+        abstract_engine.py:202-203) it is this step's warmup lr. Keeps the
+        'Train Iter' line and the train/lr log output-identical to the
+        reference's at decay boundaries (engine-A/B pins max_lr_gap 0)."""
+        warmup = int(self.config_cfg.get("warmup_step", 0) or 0)
+        if warmup and cur_step <= warmup:
+            return self._current_lr(cur_step)
+        return self._current_lr(cur_step + 1)
+
     def _profile_tick(self, cur_step: int):
         """Optional jax.profiler capture (SURVEY §5's TPU-rebuild add): set
         config.profile_start_step (and profile_steps, default 5) to write a

@@ -170,7 +170,7 @@ class UniAttackEngine(AbstractEngine):
                     iter_acc = snap["acc"]
                     if self.logger is not None and cur_step % self.log_steps == 0:
                         info = {"train/acc": iter_acc,
-                                "train/lr": self._current_lr(cur_step)}
+                                "train/lr": self._printed_lr(cur_step)}
                         info.update({f"train/{k}": v for k, v in snap["means"].items()})
                         self.logger.log(info, cur_step)
                     # running means + LR: the reference's exact line semantics
@@ -182,7 +182,7 @@ class UniAttackEngine(AbstractEngine):
                            snap["means"].get("triplet_loss", 0.0),
                            snap["means"].get("real_rec_loss", 0.0),
                            snap["means"].get("real_freq_loss", 0.0),
-                           iter_acc, self._current_lr(cur_step))
+                           iter_acc, self._printed_lr(cur_step))
                     )
                 if cur_step % self.val_steps == 0 and not self.debug:
                     self.validate(cur_step, timer)
