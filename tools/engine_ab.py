@@ -213,13 +213,19 @@ def build_ocim_corpus(base, size=64, artifact=0.15, videos=6, frames=4):
 
 # ------------------------------------------------------------------ configs
 
-def _transforms(size):
+def _transforms(size, flip=True):
     train = [
         {"name": "Resize", "params": {"height": size, "width": size}},
         {"name": "HorizontalFlip", "params": {"p": 0.5}},
         {"name": "Normalize", "params": {"mean": [0.5] * 3, "std": [0.5] * 3}},
     ]
     eval_ = [train[0], train[2]]
+    if not flip:
+        # maximum-alignment mode: drop the only stochastic train transform so
+        # (with --deterministic) the residual divergence between sides is
+        # batch ORDER alone — the tightest engine-level comparison the
+        # unalignable-RNG boundary permits
+        train = eval_
     return train, eval_
 
 
@@ -266,7 +272,7 @@ def _write_yamls(work, ds, model):
 
 
 def write_fe_configs(work, corpus_root, size, steps, val_steps, bs, args):
-    train_tf, eval_tf = _transforms(size)
+    train_tf, eval_tf = _transforms(size, flip=not args.no_flip)
     ds = {
         "name": "FFpp", "root": corpus_root, "use_lmdb": False,
         "real_method": ["Origin"], "fake_method": ["Deepfakes"],
@@ -286,7 +292,7 @@ def write_fe_configs(work, corpus_root, size, steps, val_steps, bs, args):
 
 
 def write_ue_configs(work, ffpp_root, oulu_root, size, steps, val_steps, bs, args):
-    train_tf, eval_tf = _transforms(size)
+    train_tf, eval_tf = _transforms(size, flip=not args.no_flip)
     ds = {
         "name": "UniAttack", "root": work,
         "FFpp_root": ffpp_root, "OULU_root": oulu_root,
@@ -322,7 +328,7 @@ def write_ocim_configs(work, corpus_root, size, steps, val_steps, bs, args):
     round-5 default) the real margin protocol runs on both sides: random
     train margin drawn per batch from (0.0, 0.5), fixed val margin 0.3
     (engine/ocim_engine.py:84-85 defaults, taken by both engines)."""
-    train_tf, eval_tf = _transforms(size)
+    train_tf, eval_tf = _transforms(size, flip=not args.no_flip)
     ds = {
         "root": corpus_root, "use_lmdb": True,
         **{f"{k}_root": v for k, v in OCIM_DOMAINS.items()},
@@ -607,6 +613,9 @@ def main():
                     help="seed both sides from the SAME weights (default on): "
                          "reference saves its init, ours converts it")
     ap.add_argument("--no-same-init", dest="same_init", action="store_false")
+    ap.add_argument("--no-flip", action="store_true",
+                    help="drop HorizontalFlip from train transforms "
+                         "(maximum-alignment rung with --deterministic)")
     ap.add_argument("--deterministic", action="store_true",
                     help="zero dropout/drop-connect on both sides "
                          "(config.deterministic_regularization)")
@@ -718,6 +727,7 @@ def main():
                                       if args.sched_step else None),
                         "same_init": args.same_init,
                         "deterministic": args.deterministic,
+                        "no_flip": args.no_flip,
                         "distorted": args.distorted}
     out_path = os.path.join(work, "result.json")
     with open(out_path, "w") as f:
