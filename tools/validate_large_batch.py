@@ -56,7 +56,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def run_config(tag, root, ds_base, size, batch_half, lr, images, val_every_images,
-               workdir):
+               workdir, warmup=0):
     """Train UDEB4 through the FE engine; return the val-AUC trajectory
     keyed by images seen."""
     steps = max(1, images // (2 * batch_half))
@@ -77,7 +77,7 @@ def run_config(tag, root, ds_base, size, batch_half, lr, images, val_every_image
             "lambda_mask": 0.1, "lambda_fac": 0.1,
             "optimizer": {"name": "adamw", "lr": lr, "betas": [0.9, 0.999],
                           "weight_decay": 5e-6, "amsgrad": True},
-            "crop": "nocrop", "warmup_step": 0, "resume": False,
+            "crop": "nocrop", "warmup_step": warmup, "resume": False,
             "id": f"lb-{tag}", "debug": False, "offline": True,
             "precision": "bf16",
         },
@@ -144,6 +144,16 @@ def main():
     ap.add_argument("--val-every-images", type=int, default=1280)
     ap.add_argument("--base-lr", type=float, default=2e-4)
     ap.add_argument("--artifact", type=float, default=0.10)
+    ap.add_argument("--lr-rule", choices=["sqrt", "linear"], default="sqrt",
+                    help="large-batch LR scaling rule (documented in the "
+                         "artifact; the passing rule becomes THE recipe)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="warmup_step for the large-batch run (standard "
+                         "large-batch practice alongside linear scaling)")
+    ap.add_argument("--reuse-control", default=None,
+                    help="path to a prior artifact whose 'control' run is "
+                         "reused (the control config is unchanged between "
+                         "rule attempts; re-running it is pure cost)")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "large_batch_learning_r05.json"))
     args = ap.parse_args()
@@ -165,18 +175,24 @@ def main():
         "val_transforms": tf, "test_transforms": tf,
     }
 
-    sqrt_scale = float(np.sqrt(128.0 / 20.0))
-    runs = []
-    # adjacent runs, same process: control first, then the treatment
-    runs.append(run_config("b20", root, ds_base, args.size, 10, args.base_lr,
-                           args.images, args.val_every_images, tmp))
-    runs.append(run_config("b128", root, ds_base, args.size, 64,
-                           args.base_lr * sqrt_scale,
-                           args.images, args.val_every_images, tmp))
+    scale = (float(np.sqrt(128.0 / 20.0)) if args.lr_rule == "sqrt"
+             else 128.0 / 20.0)
+    big_lr = args.base_lr * scale
+    # adjacent runs, same process: control first (or reused), then treatment
+    if args.reuse_control:
+        with open(args.reuse_control) as f:
+            ctrl = json.load(f)["control"]
+        print(f"reusing control from {args.reuse_control}")
+    else:
+        ctrl = run_config("b20", root, ds_base, args.size, 10, args.base_lr,
+                          args.images, args.val_every_images, tmp)
+    big = run_config("b128", root, ds_base, args.size, 64, big_lr,
+                     args.images, args.val_every_images, tmp,
+                     warmup=args.warmup)
 
-    ctrl, big = runs
     report = {"size": args.size, "images": args.images,
-              "lr_rule": "sqrt (lr * sqrt(128/20) = %.6f)" % (args.base_lr * sqrt_scale),
+              "lr_rule": "%s (lr * %.3f = %.6f), warmup_step=%d"
+                         % (args.lr_rule, scale, big_lr, args.warmup),
               "control": ctrl, "large_batch": big}
     verdict = {"pass": True, "reasons": []}
     for th in (0.95, 0.99):

@@ -35,11 +35,17 @@ def make_dataset(root: str, size: int, n_videos: int = 24, frames: int = 4):
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
         return np.clip(img, 0, 1)
 
+    import zlib
+
     for kind, fake in (("original_sequences/youtube", False),
                        ("manipulated_sequences/Deepfakes", True)):
         for v in range(n_videos):
             for f in range(frames):
-                img = blob(hash((kind, v, f)) % 2**31)
+                # crc32, not hash(): Python's hash is salted per process, so
+                # the corpus must not depend on it or runs stop being
+                # reproducible across invocations (validate_large_batch
+                # reuses a prior control run against a regenerated corpus)
+                img = blob(zlib.crc32(f"{kind}|{v}|{f}".encode()) % 2**31)
                 if fake:
                     img = np.clip(img + 0.10 * cb[:, :, None], 0, 1)
                 rel = f"{kind}/c23/images/{v:03d}/{f:04d}.jpg"
