@@ -48,6 +48,33 @@ class TestPadLast:
         assert all((x == y).all() for x, y in zip(a, b))
 
 
+def test_torch_order_matches_distributed_sampler(monkeypatch):
+    """UD_SAMPLER_TORCH_ORDER (tools/engine_ab.py --align-order) must emit
+    the EXACT shuffle order the reference's train loaders use: a single-rank
+    DistributedSampler re-seeded with set_epoch(cur_step)
+    (engine/forgery_engine.py:243-248; torch.randperm with generator seed
+    `seed + epoch`, seed default 0). Pinned against the real torch sampler,
+    including across a set_epoch refresh."""
+    import torch
+    from torch.utils.data import distributed as tdist
+
+    monkeypatch.setenv("UD_SAMPLER_TORCH_ORDER", "1")
+    for n, epoch in ((48, 1), (48, 17), (23, 5)):
+        ref = tdist.DistributedSampler(list(range(n)), num_replicas=1, rank=0)
+        ref.set_epoch(epoch)
+        ours = EpochSampler(n, n, shuffle=True)
+        ours.set_epoch(epoch)
+        assert np.concatenate(list(iter(ours))).tolist() == list(iter(ref))
+
+
+def test_torch_order_off_by_default(monkeypatch):
+    monkeypatch.delenv("UD_SAMPLER_TORCH_ORDER", raising=False)
+    s = EpochSampler(16, 16, shuffle=True)
+    s.set_epoch(3)
+    expect = np.random.default_rng(3).permutation(16)
+    assert (np.concatenate(list(iter(s))) == expect).all()
+
+
 class _ListDS:
     """Minimal dataset stub for sampler-level tests."""
 

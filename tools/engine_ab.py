@@ -374,7 +374,7 @@ def run_reference(engine, model_yml, cwd, timeout, test=False, env_extra=None):
          timeout, env_extra=env_extra)
 
 
-def run_ours(engine, model_yml, cwd, timeout, test=False):
+def run_ours(engine, model_yml, cwd, timeout, test=False, env_extra=None):
     # force CPU before any jax use (the baked sitecustomize overrides the
     # JAX_PLATFORMS env var, CLAUDE.md gotcha 1)
     code = (
@@ -387,7 +387,7 @@ def run_ours(engine, model_yml, cwd, timeout, test=False):
     )
     _run([sys.executable, "-c", code], cwd,
          os.path.join(cwd, "test_stdout.log" if test else "train_stdout.log"),
-         timeout)
+         timeout, env_extra=env_extra)
 
 
 # ------------------------------------------------------------------ parsing
@@ -619,6 +619,14 @@ def main():
     ap.add_argument("--deterministic", action="store_true",
                     help="zero dropout/drop-connect on both sides "
                          "(config.deterministic_regularization)")
+    ap.add_argument("--align-order", dest="align_order", action="store_true",
+                    help="make OUR sampler emit the reference's exact "
+                         "DistributedSampler shuffle order "
+                         "(UD_SAMPLER_TORCH_ORDER) and force the cv2 decode "
+                         "path (UD_DISABLE_NATIVE) so both sides consume "
+                         "identical per-step batches. With --no-flip "
+                         "--deterministic this is the maximum-alignment "
+                         "rung: the residual gap is pure numerics.")
     ap.add_argument("--timeout", type=int, default=5400, help="per subprocess")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -679,10 +687,14 @@ def main():
     print("== reference test ==")
     run_reference(args.engine, model_yml, ref_cwd, args.timeout, test=True,
                   env_extra=ref_env)
+    ours_env = None
+    if args.align_order:
+        ours_env = {"UD_SAMPLER_TORCH_ORDER": "1", "UD_DISABLE_NATIVE": "1"}
     print("== ours train (jax CPU) ==")
-    run_ours(args.engine, model_yml, ours_cwd, args.timeout)
+    run_ours(args.engine, model_yml, ours_cwd, args.timeout, env_extra=ours_env)
     print("== ours test ==")
-    run_ours(args.engine, model_yml, ours_cwd, args.timeout, test=True)
+    run_ours(args.engine, model_yml, ours_cwd, args.timeout, test=True,
+             env_extra=ours_env)
 
     run_rel = os.path.join("runs", args.model, "ab")
     if args.engine == "FE":
@@ -728,6 +740,7 @@ def main():
                         "same_init": args.same_init,
                         "deterministic": args.deterministic,
                         "no_flip": args.no_flip,
+                        "align_order": args.align_order,
                         "distorted": args.distorted}
     out_path = os.path.join(work, "result.json")
     with open(out_path, "w") as f:

@@ -38,6 +38,12 @@ def get_lib():
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("UD_DISABLE_NATIVE"):
+        # Force the cv2 fallback (A/B alignment: the reference decodes with
+        # cv2; libjpeg-turbo IDCT variants can differ by ±1 LSB per pixel,
+        # which is noise normally but a confound when comparing engines
+        # batch-for-batch — tools/engine_ab.py --align-order sets this).
+        return None
     path = _find_lib()
     if path is None:
         return None

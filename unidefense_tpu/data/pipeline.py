@@ -16,6 +16,7 @@ synchronous in-loop decode (engine/forgery_engine.py:243-258, SURVEY.md §3.5
 
 from __future__ import annotations
 
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterator, Optional
@@ -66,8 +67,26 @@ class EpochSampler:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self.shuffle:
-            g = np.random.default_rng(self.seed + self.epoch)
-            order = g.permutation(self.dataset_len)
+            if os.environ.get("UD_SAMPLER_TORCH_ORDER"):
+                # A/B maximum-alignment mode (tools/engine_ab.py
+                # --align-order): reproduce torch's DistributedSampler order
+                # bit-for-bit. The reference shuffles with
+                # torch.randperm(n, generator=manual_seed(seed + epoch))
+                # (seed defaults to 0, set_epoch(cur_step) each refresh —
+                # engine/forgery_engine.py:243-248), which is deterministic
+                # and independent of every global RNG. Emitting the same
+                # permutation here makes the two engines consume identical
+                # per-step batches, so an engine-level A/B compares the
+                # MATH, not two shuffles. Off by default: numpy's
+                # permutation is the native path.
+                import torch
+
+                g = torch.Generator()
+                g.manual_seed(self.seed + self.epoch)
+                order = torch.randperm(self.dataset_len, generator=g).numpy()
+            else:
+                g = np.random.default_rng(self.seed + self.epoch)
+                order = g.permutation(self.dataset_len)
         else:
             order = np.arange(self.dataset_len)
         # pad so every shard sees the same count (DistributedSampler behavior)
