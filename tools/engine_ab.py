@@ -520,6 +520,17 @@ def _corr(a, b):
     return float(np.corrcoef(a, b)[0, 1])
 
 
+def _max_gap(a, b):
+    """Pointwise max |ref-ours| over the common prefix — the stat that stays
+    meaningful when a trajectory saturates (constant series make correlation
+    undefined; identical-constant series are max_gap 0, the strongest case)."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    n = min(len(a), len(b))
+    if n == 0:
+        return None
+    return float(np.max(np.abs(a[:n] - b[:n])))
+
+
 def compare_fe(ref, ours):
     r_auc = [e["AUC"] for e in ref["evals"]]
     o_auc = [e["AUC"] for e in ours["evals"]]
@@ -527,6 +538,7 @@ def compare_fe(ref, ours):
         "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
         "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
         "val_auc_correlation": _corr(r_auc, o_auc),
+        "val_auc_max_gap": _max_gap(r_auc, o_auc),
         "final_val_auc_gap": (abs(r_auc[-1] - o_auc[-1])
                               if r_auc and o_auc else None),
         "best": {"ref": ref["best"], "ours": ours["best"]},
@@ -549,6 +561,7 @@ def compare_ocim(ref, ours):
         "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
         "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
         "val_auc_correlation": _corr(r_auc, o_auc),
+        "val_auc_max_gap": _max_gap(r_auc, o_auc),
         "val_selection_metric_correlation": _corr(r_sel, o_sel),
         "final_val_auc_gap": (abs(r_auc[-1] - o_auc[-1])
                               if r_auc and o_auc else None),
@@ -571,8 +584,10 @@ def compare_ue(ref, ours):
         "n_evals": {"ref": len(r_auc), "ours": len(o_auc)},
         "val_auc_trajectory": {"ref": r_auc, "ours": o_auc},
         "val_auc_correlation": _corr(r_auc, o_auc),
+        "val_auc_max_gap": _max_gap(r_auc, o_auc),
         "test_frame_acer_trajectory": {"ref": r_tacer, "ours": o_tacer},
         "test_frame_acer_correlation": _corr(r_tacer, o_tacer),
+        "test_frame_acer_max_gap": _max_gap(r_tacer, o_tacer),
         "final_test": {"ref": ref["final_test"], "ours": ours["final_test"]},
     }
     for lvl in ("Frame", "Video"):
