@@ -93,6 +93,25 @@ class TestUniDefenseShapes:
         with pytest.raises(KeyError):
             load_model("nope")
 
+    def test_build_model_plumbs_regularization_rates(self):
+        """drop_connect_rate / feat_drop_rate must reach the module —
+        engines/base.py deterministic_regularization zeroes them in
+        model_cfg; silently filtering them in build_model left UDEB4
+        training with stochastic depth while the A/B reference side had it
+        zeroed (round-5 engine-A/B root cause). Field-gated: UDR18 has no
+        drop_connect_rate."""
+        from unidefense_tpu.models.registry import build_model
+
+        m = build_model("UDEB4", {"num_classes": 2, "drop_rate": 0.0,
+                                  "extractor": "efficientnet-b4",
+                                  "drop_connect_rate": 0.0,
+                                  "feat_drop_rate": 0.0})
+        assert m.drop_connect_rate == 0.0 and m.feat_drop_rate == 0.0
+        m = build_model("UDR18", {"num_classes": 2, "extractor": "resnet18",
+                                  "drop_connect_rate": 0.0,  # ignored: no field
+                                  "feat_drop_rate": 0.0})
+        assert m.feat_drop_rate == 0.0
+
 
 @pytest.mark.skipif(not SLOW, reason="set UD_SLOW=1 for full numeric forward passes")
 class TestFullForward:
