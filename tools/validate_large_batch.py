@@ -154,6 +154,9 @@ def main():
                     help="path to a prior artifact whose 'control' run is "
                          "reused (the control config is unchanged between "
                          "rule attempts; re-running it is pure cost)")
+    ap.add_argument("--batch-half", type=int, default=64,
+                    help="large-batch per-class half (64 = the b128 bench "
+                         "batch; 32 probes the intermediate b64 rung)")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "large_batch_learning_r05.json"))
     args = ap.parse_args()
@@ -175,8 +178,9 @@ def main():
         "val_transforms": tf, "test_transforms": tf,
     }
 
-    scale = (float(np.sqrt(128.0 / 20.0)) if args.lr_rule == "sqrt"
-             else 128.0 / 20.0)
+    big_batch = 2 * args.batch_half
+    scale = (float(np.sqrt(big_batch / 20.0)) if args.lr_rule == "sqrt"
+             else big_batch / 20.0)
     big_lr = args.base_lr * scale
     # adjacent runs, same process: control first (or reused), then treatment
     if args.reuse_control:
@@ -186,7 +190,8 @@ def main():
     else:
         ctrl = run_config("b20", root, ds_base, args.size, 10, args.base_lr,
                           args.images, args.val_every_images, tmp)
-    big = run_config("b128", root, ds_base, args.size, 64, big_lr,
+    big = run_config(f"b{big_batch}", root, ds_base, args.size,
+                     args.batch_half, big_lr,
                      args.images, args.val_every_images, tmp,
                      warmup=args.warmup)
 
