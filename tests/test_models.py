@@ -112,6 +112,25 @@ class TestUniDefenseShapes:
                                   "feat_drop_rate": 0.0})
         assert m.feat_drop_rate == 0.0
 
+    def test_engine_deterministic_regularization_reaches_model(self):
+        """The ENGINE-level contract (where the round-5 bug actually bit):
+        config.deterministic_regularization must produce a model with every
+        stochastic-regularization rate at 0 — via _build_model's model_cfg
+        rewrite AND build_model's pass-through together."""
+        from unidefense_tpu.engines.forgery import ForgeryEngine
+
+        eng = object.__new__(ForgeryEngine)  # no __init__: module build only
+        eng.model_name = "UDEB4"
+        eng.model_cfg = {"num_classes": 2, "drop_rate": 0.2,
+                         "extractor": "efficientnet-b4"}
+        eng.config_cfg = {"deterministic_regularization": True}
+        eng.multi_device = False
+        eng.compute_dtype = None
+        m = eng._build_model()
+        assert m.drop_rate == 0.0
+        assert m.feat_drop_rate == 0.0
+        assert m.drop_connect_rate == 0.0
+
 
 @pytest.mark.skipif(not SLOW, reason="set UD_SLOW=1 for full numeric forward passes")
 class TestFullForward:
